@@ -1,0 +1,186 @@
+"""Operator API (L3): ``apply_unary`` / ``apply_binary`` / pair & point sums.
+
+Mirrors the reference's ``apply!`` dispatch surface (src/core.jl:151-161,
+apply_unary! :138-142, apply_binary! :125-129, point/pair ``sum`` :240-291),
+re-designed as pure functions over the SoA state:
+
+  * a **unary** action is a function of the particle view returning a dict of
+    updated field values (reference: mutate ``p`` in place),
+  * a **binary** action is a function ``f(p, q, r) -> {field: contribution}``
+    evaluated on every neighbor pair and *summed over neighbors* into the
+    named fields of ``p`` — exactly the reference's "mutate p only" race
+    discipline (src/core.jl:122-123), but enforced by construction, with a
+    fixed deterministic reduction order.
+
+Shapes inside a binary action: ``r`` is [N, K]; scalar fields are ``p.m`` →
+[N, 1], ``q.m`` → [N, K]; vector fields are ``p.x`` → [N, 1, d], ``q.x`` →
+[N, K, d]. Broadcast a scalar factor onto a vector with ``[..., None]``.
+Pairs beyond the interaction radius are masked (their ``r`` is presented as
+2h so compact-support kernels vanish), and masked contributions are zeroed.
+
+``self_interaction=True`` adds the r=0 diagonal term once per particle
+(reference ``apply!(…; self=true)``, src/core.jl:156).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..structs import ParticleState
+from .neighbors import NeighborEngine, Neighbors
+
+__all__ = ["apply_unary", "apply_binary", "pair_sum", "point_sum", "dist",
+           "FieldsView"]
+
+
+def dist(p_x, q_x):
+    """Pair distance (reference dist, src/core.jl:8-10)."""
+    return jnp.sqrt(jnp.sum((p_x - q_x) ** 2, axis=-1))
+
+
+class FieldsView:
+    """Attribute/item access to particle fields, optionally gathered/expanded.
+
+    mode "p": scalar → [N, 1], vector → [N, 1, d] (broadcast against K axis)
+    mode "q": gathered by candidate index [N, K] → [N, K(,d)]
+    mode "u": raw [N(,d)] arrays (unary actions)
+    """
+
+    def __init__(self, fields: dict, idx=None, expand: bool = False):
+        object.__setattr__(self, "_fields", fields)
+        object.__setattr__(self, "_idx", idx)
+        object.__setattr__(self, "_expand", expand)
+
+    def __getitem__(self, name: str):
+        arr = self._fields[name]
+        if self._idx is not None:
+            return arr[self._idx]
+        if self._expand:
+            return arr[:, None] if arr.ndim == 1 else arr[:, None, ...]
+        return arr
+
+    def __getattr__(self, name: str):
+        try:
+            return self.__getitem__(name)
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def keys(self):
+        return self._fields.keys()
+
+
+def apply_unary(state: ParticleState, action, where=None, **params) -> ParticleState:
+    """Apply a pointwise action (reference apply_unary!, src/core.jl:138-142).
+
+    ``action(p, **params)`` receives the raw-field view and returns a dict of
+    new field values. If ``where`` is given (a boolean [N] mask or a function
+    of the view returning one), updates apply only where true.
+    """
+    view = FieldsView(state.fields)
+    updates = action(view, **params)
+    if where is not None:
+        mask = where(view) if callable(where) else where
+        out = {}
+        for name, val in updates.items():
+            old = state.fields[name]
+            m = mask if val.ndim == 1 else mask.reshape(mask.shape + (1,) * (val.ndim - 1))
+            out[name] = jnp.where(m, val, old)
+        updates = out
+    return state.replace(**updates)
+
+
+def _masked_sum(contrib, mask, dtype):
+    m = mask if contrib.ndim == mask.ndim else mask[..., None]
+    return jnp.sum(jnp.where(m, contrib.astype(dtype), 0), axis=1)
+
+
+def apply_binary(engine: NeighborEngine, state: ParticleState, nbrs: Neighbors,
+                 action, add: bool = True, self_interaction: bool = False,
+                 **params) -> ParticleState:
+    """Apply a binary action over all neighbor pairs and sum into p's fields
+    (reference apply_binary!, src/core.jl:94-129).
+
+    ``action(p, q, r, **params)`` returns ``{field: [N, K(,d)] contribution}``.
+    With ``add=True`` (the reference's ``+=`` idiom) sums are added to the
+    existing field values; with ``add=False`` they replace them.
+    """
+    sums = _binary_sums(engine, state, nbrs, action, self_interaction, params)
+    updates = {}
+    for name, val in sums.items():
+        updates[name] = (state.fields[name] + val) if add else val
+    return state.replace(**updates)
+
+
+def pair_sum(engine: NeighborEngine, state: ParticleState, nbrs: Neighbors,
+             func, self_interaction: bool = False, **params) -> jnp.ndarray:
+    """Per-particle neighbor sum of a scalar pair function (reference
+    ``sum(sys, func, p)``, src/core.jl:271-291). ``func(p, q, r)`` → [N, K]."""
+    sums = _binary_sums(engine, state, nbrs,
+                        lambda p, q, r, **kw: {"__out__": func(p, q, r, **kw)},
+                        self_interaction, params)
+    return sums["__out__"]
+
+
+def _binary_sums(engine, state, nbrs, action, self_interaction, params) -> dict:
+    x = state.fields["x"]
+    N = x.shape[0]
+    dtype = x.dtype
+    h = jnp.asarray(engine.h, dtype=dtype)
+    i_idx = jnp.arange(N, dtype=jnp.int32)
+    pview = FieldsView(state.fields, expand=True)
+
+    acc: dict = {}
+    for offset in engine.stencil:
+        cand, valid = engine.stencil_candidates(nbrs, offset)
+        xq = x[cand]  # [N, K, d]
+        r = dist(x[:, None, :], xq)
+        mask = valid & (r <= h) & (cand != i_idx[:, None]) & state.active[:, None]
+        r_safe = jnp.where(mask, r, 2.0 * h)
+        qview = FieldsView(state.fields, idx=cand)
+        contrib = action(pview, qview, r_safe, **params)
+        for name, val in contrib.items():
+            s = _masked_sum(val, mask, dtype)
+            acc[name] = s if name not in acc else acc[name] + s
+
+    if self_interaction:
+        # reference: apply_unary!(p -> action!(p, p, 0.0)) (src/core.jl:156)
+        uview = FieldsView(state.fields, expand=True)
+        zero_r = jnp.zeros((N, 1), dtype=dtype)
+        contrib = action(uview, uview, zero_r, **params)
+        amask = state.active[:, None]
+        for name, val in contrib.items():
+            acc[name] = acc[name] + _masked_sum(val, amask, dtype)
+    return acc
+
+
+def point_sum(engine: NeighborEngine, state: ParticleState, nbrs: Neighbors,
+              func, xs, **params) -> jnp.ndarray:
+    """SPH interpolation at arbitrary points (reference ``sum(sys, func, x)``,
+    src/core.jl:240-260).
+
+    ``xs`` is [M, dim]; ``func(q, r)`` receives q fields gathered to
+    [M, K] and distances [M, K], returns [M, K]; result is the masked sum
+    over all neighbors of each point.
+    """
+    xs = jnp.asarray(xs, dtype=state.fields["x"].dtype)
+    if xs.ndim == 1:
+        xs = xs[None]
+    h = jnp.asarray(engine.h, dtype=xs.dtype)
+    cell = (jnp.floor(xs / engine.h).astype(jnp.int32)
+            - jnp.asarray(engine.phase, dtype=jnp.int32))
+    lims = jnp.asarray(engine.lims, dtype=jnp.int32)
+    x = state.fields["x"]
+    out = jnp.zeros(xs.shape[0], dtype=xs.dtype)
+    for offset in engine.stencil:
+        ncell = cell + jnp.asarray(offset, dtype=jnp.int32)
+        in_grid = jnp.all((ncell >= 0) & (ncell < lims), axis=-1)
+        nkey = jnp.where(in_grid, engine.flat_key(jnp.clip(ncell, 0, lims - 1)),
+                         engine.num_cells)
+        cnt = jnp.where(in_grid, nbrs.counts[nkey], 0)
+        cand = nbrs.bucket[nkey]
+        valid = jnp.arange(engine.cap, dtype=jnp.int32)[None, :] < cnt[:, None]
+        r = dist(xs[:, None, :], x[cand])
+        mask = valid & (r <= h)
+        qview = FieldsView(state.fields, idx=cand)
+        val = func(qview, jnp.where(mask, r, 2.0 * h), **params)
+        out = out + jnp.sum(jnp.where(mask, val, 0), axis=1)
+    return out
