@@ -1,0 +1,48 @@
+"""Shared model scaffolding: jitted frame loops and observables.
+
+Each simulation module follows the reference script skeleton (SURVEY §2.2):
+constants → particle fields → geometry/make_system → physics closures →
+verlet_step → main loop with PVD frames + diagnostics. Here the per-step
+work is a pure function and a whole frame interval runs inside one
+``lax.scan`` under ``jit`` — zero host round-trips between steps, frames
+pulled to host only at frame boundaries.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..structs import ParticleState
+
+__all__ = ["frame_runner", "masked_mean", "masked_max", "masked_sum"]
+
+
+def frame_runner(step_fn: Callable[[ParticleState], ParticleState],
+                 steps_per_frame: int):
+    """Compile ``state -> state`` advancing ``steps_per_frame`` steps in one
+    ``lax.scan``. Donates the state buffer so the simulation runs in place."""
+
+    @partial(jax.jit, donate_argnums=0)
+    def run_frame(state: ParticleState) -> ParticleState:
+        def body(s, _):
+            return step_fn(s), None
+        state, _ = jax.lax.scan(body, state, None, length=steps_per_frame)
+        return state
+
+    return run_frame
+
+
+def masked_sum(val, active):
+    m = active if val.ndim == 1 else active[:, None]
+    return jnp.sum(jnp.where(m, val, 0))
+
+
+def masked_mean(val, active):
+    return masked_sum(val, active) / jnp.maximum(jnp.sum(active), 1)
+
+
+def masked_max(val, active, init=0.0):
+    return jnp.max(jnp.where(active, val, init))

@@ -1,0 +1,181 @@
+"""Neighbor-engine property tests: the cell-bucket stencil machinery must
+reproduce an O(N²) brute-force pair sum exactly (same pairs, deterministic
+reduction), including out-of-domain removal semantics
+(reference create_cell_list!, src/core.jl:51-90)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sph_mountain_waves_tpu import Rectangle, Box, ParticleSystem
+from sph_mountain_waves_tpu.ops.apply import apply_binary, pair_sum, point_sum
+from sph_mountain_waves_tpu.ops.solvers import assemble_matvec
+
+RNG = np.random.default_rng(0)
+
+
+def brute_force_sums(x, active, h, weight_fn):
+    """Reference semantics: sum over pairs with r <= h, p != q, both active."""
+    n = len(x)
+    out = np.zeros(n)
+    for i in range(n):
+        if not active[i]:
+            continue
+        for j in range(n):
+            if j == i or not active[j]:
+                continue
+            r = np.linalg.norm(x[i] - x[j])
+            if r <= h:
+                out[i] += weight_fn(x[i], x[j], r)
+    return out
+
+
+def make_cloud(n, dim, box_hi, h, seed):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, box_hi, size=(n, dim))
+    if dim == 2:
+        dom = Rectangle(0.0, 0.0, box_hi, box_hi)
+    else:
+        dom = Box(0.0, 0.0, 0.0, box_hi, box_hi, box_hi)
+    sys = ParticleSystem(fields={"x": dim, "m": 0, "acc": 0}, domain=dom,
+                         h=h, dim=dim, dtype=jnp.float64)
+    m = rng.uniform(0.5, 2.0, size=n)
+    sys.add_particles(x, {"m": m})
+    state = sys.freeze()
+    return sys, state, x, m
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_pair_sum_matches_bruteforce(dim):
+    n, box_hi, h = 300, 1.0, 0.21
+    sys, state, x, m = make_cloud(n, dim, box_hi, h, seed=dim)
+    eng = sys.engine
+    state2, nbrs = eng.rebuild(state)
+    assert int(nbrs.overflow) == 0
+
+    def fn(p, q, r):
+        return q.m * (1.0 + r)
+
+    got = np.asarray(pair_sum(eng, state2, nbrs, fn))
+    # brute force on the *sorted* order
+    xs = np.asarray(state2.fields["x"])
+    ms = np.asarray(state2.fields["m"])
+    act = np.asarray(state2.active)
+    idx_m = {tuple(np.round(row, 12)): mi for row, mi in zip(x, m)}
+
+    def w(xi, xj, r):
+        return idx_m[tuple(np.round(xj, 12))] * (1.0 + r)
+
+    want = brute_force_sums(xs, act, h, w)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_removal_and_nan_semantics():
+    # particles outside the domain box or with NaN positions are deactivated
+    # on rebuild (reference src/core.jl:63-81, src/structs.jl:98-105)
+    dom = Rectangle(0.0, 0.0, 1.0, 1.0)
+    sys = ParticleSystem(fields={"x": 2}, domain=dom, h=0.3, dim=2, dtype=jnp.float64)
+    pts = np.array([[0.5, 0.5], [1.5, 0.5], [0.2, 0.2], [np.nan, 0.3]])
+    sys.add_particles(pts, {})
+    state = sys.freeze()
+    state2, nbrs = sys.engine.rebuild(state)
+    assert int(state2.n) == 2
+
+
+def test_vector_contributions_and_add():
+    n, h = 120, 0.25
+    sys, state, x, m = make_cloud(n, 2, 1.0, h, seed=7)
+    eng = sys.engine
+    state2, nbrs = eng.rebuild(state)
+
+    def force(p, q, r):
+        return {"vsum": q.m[..., None] * (p.x - q.x)}
+
+    sys.field_specs["vsum"] = (2,)
+    state2 = state2.replace(vsum=jnp.zeros_like(state2.fields["x"]))
+    out = apply_binary(eng, state2, nbrs, force)
+    got = np.asarray(out.fields["vsum"])
+
+    xs = np.asarray(state2.fields["x"])
+    ms = np.asarray(state2.fields["m"])
+    want = np.zeros_like(xs)
+    for i in range(len(xs)):
+        for j in range(len(xs)):
+            if i == j:
+                continue
+            r = np.linalg.norm(xs[i] - xs[j])
+            if r <= h:
+                want[i] += ms[j] * (xs[i] - xs[j])
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-14)
+
+
+def test_self_interaction_flag():
+    # self=True adds f(p, p, 0) once (reference src/core.jl:156)
+    sys, state, x, m = make_cloud(50, 2, 1.0, 0.2, seed=3)
+    eng = sys.engine
+    state2, nbrs = eng.rebuild(state)
+    f = lambda p, q, r: q.m * 0 + 1.0  # counts neighbors
+    without = np.asarray(pair_sum(eng, state2, nbrs, f))
+    with_self = np.asarray(pair_sum(eng, state2, nbrs, f, self_interaction=True))
+    act = np.asarray(state2.active)
+    np.testing.assert_allclose(with_self[act], without[act] + 1.0)
+    np.testing.assert_allclose(with_self[~act], 0.0)  # self-term masked for inactive
+
+
+def test_matvec_includes_diagonal():
+    # assemble_matvec keeps i==j (reference assemble_matrix has no p==q skip)
+    sys, state, x, m = make_cloud(80, 2, 1.0, 0.2, seed=11)
+    eng = sys.engine
+    state2, nbrs = eng.rebuild(state)
+
+    def coeff(p, q, r):
+        return jnp.exp(-r) * q.m
+
+    mv = assemble_matvec(eng, state2, nbrs, coeff)
+    v = jnp.asarray(RNG.uniform(size=state2.capacity))
+    got = np.asarray(mv(v))
+
+    xs = np.asarray(state2.fields["x"])
+    ms = np.asarray(state2.fields["m"])
+    act = np.asarray(state2.active)
+    A = np.zeros((len(xs), len(xs)))
+    for i in range(len(xs)):
+        for j in range(len(xs)):
+            if not (act[i] and act[j]):
+                continue
+            r = np.linalg.norm(xs[i] - xs[j])
+            if r <= 0.2:
+                A[i, j] = np.exp(-r) * ms[j]
+    want = A @ (np.asarray(v) * act)
+    want[~act] = 0
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-14)
+
+
+def test_point_sum_interpolation():
+    sys, state, x, m = make_cloud(200, 2, 1.0, 0.2, seed=5)
+    eng = sys.engine
+    state2, nbrs = eng.rebuild(state)
+    probes = np.array([[0.5, 0.5], [0.1, 0.9], [0.33, 0.66]])
+    got = np.asarray(point_sum(eng, state2, nbrs, lambda q, r: q.m * (0.2 - r), probes))
+    xs = np.asarray(state2.fields["x"])
+    ms = np.asarray(state2.fields["m"])
+    act = np.asarray(state2.active)
+    for k, p in enumerate(probes):
+        r = np.linalg.norm(xs - p, axis=1)
+        sel = (r <= 0.2) & act
+        np.testing.assert_allclose(got[k], np.sum(ms[sel] * (0.2 - r[sel])), rtol=1e-10)
+
+
+def test_jit_and_scan_compatible():
+    import jax
+    sys, state, x, m = make_cloud(100, 2, 1.0, 0.2, seed=9)
+    eng = sys.engine
+
+    @jax.jit
+    def step(state):
+        state, nbrs = eng.rebuild(state)
+        s = pair_sum(eng, state, nbrs, lambda p, q, r: q.m * r)
+        return state, s
+
+    s1 = np.asarray(step(state)[1])
+    s2 = np.asarray(step(state)[1])
+    np.testing.assert_array_equal(s1, s2)  # deterministic across runs
