@@ -1,0 +1,173 @@
+"""WCSPH mountain-wave scheme on perturbation variables.
+
+TPU-native rebuild of src/current/wcsph_perturbed_witch.jl: each particle
+carries background+perturbation+total triplets for (ρ, P, θ, T); density by
+kernel summation with per-particle adaptive h; linear EOS on the perturbation
+P′ = c²ρ′; buoyancy −g ρ′/ρ; Rayleigh sponge; momentum = symmetric
+pressure-gradient on P′ + Monaghan artificial viscosity (α, β, ε form);
+modified Verlet with two cell-list rebuilds per step.
+
+Physics citations into src/current/wcsph_perturbed_witch.jl:
+compute_pressure! :195-199, find_temperature!/find_pot_temp! :205-214,
+density pass :220-238, buoyancy/damping :245-256,
+balance_of_momentum! :261-286, move!/accelerate! :292-303,
+verlet_step! :309-332, main :356-407.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels import rDwendland2, wendland2
+from ..ops.apply import apply_binary, apply_unary
+from ..structs import ParticleState, ParticleSystem
+from .common import frame_runner
+from .witch_common import (
+    FLUID, WitchConfig, background_density_j, background_pot_temperature_j,
+    background_pressure_j, make_witch_system, rayleigh_damping,
+    velocity_diagnostics,
+)
+
+FIELDS = {"h": 0, "x": 2, "m": 0, "v": 2, "Dv": 2,
+          "rho_bg": 0, "rho_p": 0, "rho": 0,
+          "P_bg": 0, "P_p": 0, "P": 0,
+          "theta_bg": 0, "theta_p": 0, "theta": 0,
+          "T_bg": 0, "T_p": 0, "T": 0, "type": 0}
+
+
+def make_system(cfg: WitchConfig) -> ParticleSystem:
+    return make_witch_system(cfg, FIELDS)
+
+
+def make_step(cfg: WitchConfig, engine):
+    dt = cfg.dt
+
+    def compute_density(p, q, r):
+        # ρ += q.m W(p.h, r)  (:226-228)
+        return {"rho": q.m * wendland2(p.h, r)}
+
+    def reset_density(u):
+        return {"rho": jnp.zeros_like(u.rho), "rho_p": jnp.zeros_like(u.rho_p)}
+
+    def finalize_density(u):
+        rho_bg = background_density_j(cfg, u.x[:, 1])
+        return {"rho_bg": rho_bg, "rho_p": u.rho - rho_bg}
+
+    def update_smoothing(u):
+        rho = jnp.maximum(u.rho, cfg.rho_floor)
+        return {"h": cfg.eta * jnp.sqrt(u.m / rho)}  # (:235-238)
+
+    def compute_pressure(u):
+        P_bg = background_pressure_j(cfg, u.x[:, 1])
+        P_p = cfg.c**2 * u.rho_p
+        return {"P_bg": P_bg, "P_p": P_p, "P": P_bg + P_p}  # (:195-199)
+
+    def find_temperature(u):
+        T = u.P / (cfg.R_mass * u.rho)
+        return {"T": T, "T_p": T - u.T_bg}  # (:205-208)
+
+    def find_pot_temp(u):
+        theta = u.T * ((cfg.T_bg * cfg.R_gas * cfg.rho0) / u.P) ** (2.0 / 7.0)
+        theta_bg = background_pot_temperature_j(cfg, u.x[:, 1])
+        return {"theta": theta, "theta_bg": theta_bg,
+                "theta_p": theta - theta_bg}  # (:210-214)
+
+    def balance_of_momentum(p, q, r):
+        # symmetric P' gradient + Monaghan artificial viscosity (:261-286)
+        x_pq = p.x - q.x
+        v_pq = p.v - q.v
+        dot_pq = jnp.sum(x_pq * v_pq, axis=-1)
+        h_ij = 0.5 * (p.h + q.h)
+        ker = rDwendland2(h_ij, r)
+        prho = jnp.maximum(p.rho, cfg.rho_floor)
+        qrho = jnp.maximum(q.rho, cfg.rho_floor)
+        dv = -(q.m * (p.P_p / prho**2 + q.P_p / qrho**2) * ker)[..., None] * x_pq
+
+        c_i = jnp.sqrt(jnp.maximum(cfg.gamma * p.P / prho, 0.0))
+        c_j = jnp.sqrt(jnp.maximum(cfg.gamma * q.P / qrho, 0.0))
+        c_ij = 0.5 * (c_i + c_j)
+        rho_ij = 0.5 * (prho + qrho)
+        mu_ij = (h_ij * dot_pq) / (r * r + cfg.eps * h_ij * h_ij)
+        pi_ij = (-cfg.alpha * c_ij * mu_ij + cfg.beta * mu_ij**2) / rho_ij
+        visc = jnp.where(dot_pq < 0.0, -q.m * pi_ij * ker, 0.0)
+        return {"Dv": dv + visc[..., None] * x_pq}
+
+    def move(u):
+        fluid = (u.type == FLUID)[:, None]
+        return {"x": jnp.where(fluid, u.x + dt * u.v, u.x)}  # (:292-296)
+
+    def accelerate(u):
+        # v += dt/2 (Dv + buoyancy + damping); Dv reset (:298-303)
+        fluid = (u.type == FLUID)[:, None]
+        buoy = -cfg.g * u.rho_p / jnp.maximum(u.rho, cfg.rho_floor)  # (:253-256)
+        damp = rayleigh_damping(cfg, u.x[:, 1])
+        acc_y = u.Dv[:, 1] + buoy + damp
+        acc = jnp.stack([u.Dv[:, 0], acc_y], axis=-1)
+        return {"v": jnp.where(fluid, u.v + 0.5 * dt * acc, u.v),
+                "Dv": jnp.zeros_like(u.Dv)}
+
+    def step(state: ParticleState) -> ParticleState:
+        # verlet_step! (:309-332)
+        state = apply_unary(state, accelerate)
+        state = apply_unary(state, move)
+        state, nbrs = engine.rebuild(state)
+
+        state = apply_unary(state, reset_density)
+        state = apply_binary(engine, state, nbrs, compute_density,
+                             self_interaction=cfg.self_density)
+        state = apply_unary(state, finalize_density)
+        state = apply_unary(state, update_smoothing)
+        state, nbrs = engine.rebuild(state)
+
+        state = apply_unary(state, compute_pressure)
+        state = apply_unary(state, find_temperature)
+        state = apply_unary(state, find_pot_temp)
+
+        state = apply_binary(engine, state, nbrs, balance_of_momentum)
+        state = apply_unary(state, accelerate)
+        return state
+
+    return step
+
+
+EXPORT_VARS = ("v", "rho", "P", "theta", "T", "type")  # (:18)
+
+
+def run(cfg: WitchConfig = WitchConfig(), out_path: str | None = None,
+        verbose: bool = False):
+    """main() loop (:356-407): frames every t_end/n_frames with avg/max
+    velocity diagnostics; PVD output of (:v, :ρ, :P, :θ, :T, :type)."""
+    from ..io import new_pvd_file, save_frame, save_pvd_file
+
+    sys = make_system(cfg)
+    state = sys.freeze()
+    step = make_step(cfg, sys.engine)
+
+    n_steps = int(round(cfg.t_end / cfg.dt))
+    steps_per_frame = max(1, int(round(cfg.t_end / cfg.n_frames / cfg.dt)))
+    run_frame = frame_runner(step, steps_per_frame)
+    diag = jax.jit(velocity_diagnostics)
+
+    out = new_pvd_file(out_path) if out_path else None
+    if out:
+        save_frame(out, state, *EXPORT_VARS, time=0.0)
+
+    ts, u_avgs, u_maxs = [], [], []
+    k = 0
+    while k < n_steps:
+        state = run_frame(state)
+        k += steps_per_frame
+        t = k * cfg.dt
+        u_avg, u_max = diag(state)
+        ts.append(t); u_avgs.append(float(u_avg)); u_maxs.append(float(u_max))
+        if verbose:
+            print(f"t = {t:.3f}  n = {int(state.n)}  "
+                  f"u_avg = {float(u_avg):.4e}  u_max = {float(u_max):.4e}")
+        if out:
+            save_frame(out, state, *EXPORT_VARS, time=t)
+    if out:
+        save_pvd_file(out)
+    sys.state = state
+    return {"t": np.asarray(ts), "u_avg": np.asarray(u_avgs),
+            "u_max": np.asarray(u_maxs), "state": state, "system": sys}

@@ -1,0 +1,219 @@
+"""Shared scaffolding for the mountain-wave (Witch of Agnesi) suite.
+
+All five current/ schemes share one skeleton (SURVEY §2.2; reference
+src/current/*.jl): a 400 km × 26 km rectangle with a 6·dr boundary fence,
+hexagonal lattice at dr = 26 km/75, hydrostatic isothermal background at
+T = 250 K, Brunt–Väisälä N² = 0.0196, Rayleigh damping above 12 km, and a
+Witch-of-Agnesi mountain h(x) = hₘa²/(x²+a²) (disabled by default, hₘ=a=0 —
+the static-atmosphere well-balancing configuration).
+
+Constants and background-state functions cite
+src/current/wcsph_perturbed_witch.jl:20-76 (identical across the suite) and
+:177-189 (background density/pressure/potential temperature).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import BoundaryLayer, Rectangle, Specification
+from ..grids import Grid
+from ..structs import ParticleSystem, generate_particles
+from .common import masked_mean, masked_max
+
+FLUID = 0.0
+WALL = 1.0
+MOUNTAIN = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class WitchConfig:
+    """Constants of src/current/wcsph_perturbed_witch.jl:20-76."""
+    # geometry (:25-30)
+    dom_height: float = 26e3
+    dom_length: float = 400e3
+    n_rows: int = 75                  # dr = dom_height / n_rows
+    bc_rows: int = 6                  # bc_width = 6 dr
+    h_m: float = 0.0                  # mountain height (disabled by default)
+    a: float = 0.0                    # mountain half-width
+    # smoothing (:33-34)
+    eta: float = 1.8
+    # physical (:38-40)
+    rho0: float = 1.393
+    # artificial (:43-46)
+    eps: float = 0.01
+    alpha: float = 0.1
+    # meteorological (:49-54)
+    N_bv: float = float(np.sqrt(0.0196))
+    g: float = 9.81
+    R_mass: float = 287.05
+    z_b: float = 12e3                 # bottom of damping layer
+    # thermodynamical (:57-61)
+    R_gas: float = 8.314
+    T_bg: float = 250.0
+    # temporal (:64-66)
+    t_end: float = 20.0
+    n_frames: int = 100
+    # floors (:74-76)
+    rho_floor: float = 1e-6
+    P_floor: float = 1e-10
+    dtype: str = "float32"
+    # Reference-faithful density omits the kernel self-term (the reference
+    # calls apply!(compute_density!) with self=false, wcsph_perturbed_witch.jl
+    # :317 + src/core.jl:151-156), which biases summed density to ~0.59·ρ_bg
+    # under the adaptive-h fixed point and makes the static atmosphere drift.
+    # self_density=True enables the standard self-inclusive summation.
+    self_density: bool = False
+
+    @property
+    def dr(self) -> float:
+        return self.dom_height / self.n_rows
+
+    @property
+    def bc_width(self) -> float:
+        return self.bc_rows * self.dr
+
+    @property
+    def h0(self) -> float:
+        return self.eta * self.dr
+
+    @property
+    def c(self) -> float:
+        return float(np.sqrt(65e3 * (7 / 5) / self.rho0))  # (:40)
+
+    @property
+    def nu(self) -> float:
+        return 0.1 * self.h0 * self.c  # (:43)
+
+    @property
+    def beta(self) -> float:
+        return 2.0 * self.alpha  # (:46)
+
+    @property
+    def gamma_r(self) -> float:
+        return 10.0 * self.N_bv  # (:52)
+
+    @property
+    def z_t(self) -> float:
+        return self.dom_height  # (:54)
+
+    @property
+    def cp(self) -> float:
+        return 7.0 * self.R_mass / 2.0
+
+    @property
+    def cv(self) -> float:
+        return self.cp - self.R_mass
+
+    @property
+    def gamma(self) -> float:
+        return self.cp / self.cv
+
+    @property
+    def dt(self) -> float:
+        return 0.01 * self.h0 / self.c  # (:64)
+
+    @property
+    def jdtype(self):
+        return jnp.float64 if self.dtype == "float64" else jnp.float32
+
+
+# ------------------------------------------------------- background state
+
+def background_density(cfg: WitchConfig, y):
+    """ρ_bg(y) = ρ0 exp(−y g / (R T_bg)) (:177-179)."""
+    return cfg.rho0 * np.exp(-np.asarray(y) * cfg.g / (cfg.R_mass * cfg.T_bg))
+
+
+def background_pressure(cfg: WitchConfig, y):
+    """P_bg = R T_bg ρ_bg (:181-184)."""
+    return cfg.R_mass * cfg.T_bg * background_density(cfg, y)
+
+
+def background_pot_temperature(cfg: WitchConfig, y):
+    """θ_bg = T_bg ((T_bg R_gas ρ0)/P_bg)^(2/7) (:186-189)."""
+    P_bg = background_pressure(cfg, y)
+    return cfg.T_bg * ((cfg.T_bg * cfg.R_gas * cfg.rho0) / P_bg) ** (2.0 / 7.0)
+
+
+# jnp variants for use inside jit
+def background_density_j(cfg: WitchConfig, y):
+    return cfg.rho0 * jnp.exp(-y * cfg.g / (cfg.R_mass * cfg.T_bg))
+
+
+def background_pressure_j(cfg: WitchConfig, y):
+    return cfg.R_mass * cfg.T_bg * background_density_j(cfg, y)
+
+
+def background_pot_temperature_j(cfg: WitchConfig, y):
+    P_bg = background_pressure_j(cfg, y)
+    return cfg.T_bg * ((cfg.T_bg * cfg.R_gas * cfg.rho0) / P_bg) ** (2.0 / 7.0)
+
+
+def witch_profile(cfg: WitchConfig, x):
+    """Mountain profile hₘa²/(x²+a²) (:158); 0 when disabled."""
+    x = np.asarray(x, dtype=np.float64)
+    if cfg.a == 0.0:
+        return np.zeros_like(x)
+    return cfg.h_m * cfg.a**2 / (x**2 + cfg.a**2)
+
+
+# ------------------------------------------------------------- geometry
+
+def make_witch_system(cfg: WitchConfig, fields: dict,
+                      extra_capacity: int = 0) -> ParticleSystem:
+    """Domain + fence + mountain geometry and particle generation
+    (make_system, src/current/wcsph_perturbed_witch.jl:152-170). ``fields``
+    must include the scheme's per-particle variables; common init (background
+    triplets, mass) is applied here; scheme-specific init afterwards."""
+    grid = Grid(cfg.dr, "hexagonal")
+    domain = Rectangle(-cfg.dom_length / 2.0, 0.0, cfg.dom_length / 2.0,
+                       cfg.dom_height)
+    fence = BoundaryLayer(domain, grid, cfg.bc_width)
+    mountain = Specification(
+        domain, lambda x: x[..., 1] <= witch_profile(cfg, x[..., 0]))
+
+    sys = ParticleSystem(fields=fields, domain=domain + fence, h=cfg.h0,
+                         dim=2, dtype=cfg.jdtype)
+    generate_particles(sys, grid, domain - mountain, lambda xs: {"type": FLUID})
+    generate_particles(sys, grid, fence, lambda xs: {"type": WALL})
+    generate_particles(sys, grid, mountain, lambda xs: {"type": FLUID})
+
+    # hydrostatic isothermal init common to all schemes (:125-144)
+    for chunk in sys._chunks:
+        y = chunk["x"][:, 1]
+        if "h" in chunk:
+            chunk["h"] = np.full_like(y, cfg.h0)
+        rho_bg = background_density(cfg, y)
+        for name, val in [
+            ("rho_bg", rho_bg), ("rho", rho_bg),
+            ("P_bg", background_pressure(cfg, y)),
+            ("P", background_pressure(cfg, y)),
+            ("theta_bg", background_pot_temperature(cfg, y)),
+            ("theta", background_pot_temperature(cfg, y)),
+            ("T_bg", np.full_like(y, cfg.T_bg)),
+            ("T", np.full_like(y, cfg.T_bg)),
+            ("m", rho_bg * cfg.dr**2),
+        ]:
+            if name in chunk:
+                chunk[name] = val
+    return sys
+
+
+# ----------------------------------------------------------- diagnostics
+
+def velocity_diagnostics(state):
+    """(u_avg, u_max) over all particles (avg_velocity/max_velocity,
+    src/current/wcsph_perturbed_witch.jl:338-350)."""
+    v = jnp.sqrt(jnp.sum(state.fields["v"] ** 2, axis=-1))
+    return masked_mean(v, state.active), masked_max(v, state.active)
+
+
+def rayleigh_damping(cfg: WitchConfig, y):
+    """Sponge acceleration above zₜ−zᵦ (damping_structure, :245-251).
+    Faithful to the reference, including its z-independent magnitude."""
+    mag = -cfg.gamma_r * jnp.sin(
+        jnp.pi / 2 * (1.0 - (cfg.z_t - cfg.z_b) / cfg.z_b)) ** 2
+    return jnp.where(y >= (cfg.z_t - cfg.z_b), mag, 0.0)

@@ -1,0 +1,77 @@
+"""Mountain-wave (wcsph_perturbed_witch) gates.
+
+The reference's default static-atmosphere configuration sums density without
+the kernel self-term (apply!(compute_density!) with self=false,
+src/current/wcsph_perturbed_witch.jl:317), which under the adaptive-h update
+h = η√(m/ρ) converges to the fixed point ρ/ρ_bg → 1/(1+η⁻²·7/π·(4/3)...)
+≈ 0.593. We regression-lock that faithful behavior, and check that the
+self-inclusive option keeps the atmosphere far closer to static.
+"""
+import jax
+import numpy as np
+import pytest
+
+from sph_mountain_waves_tpu.models import wcsph_perturbed_witch as w
+from sph_mountain_waves_tpu.models.witch_common import (
+    FLUID, WitchConfig, background_density, witch_profile,
+)
+
+
+def run_steps(cfg, n):
+    sys = w.make_system(cfg)
+    state = sys.freeze()
+    step = jax.jit(w.make_step(cfg, sys.engine))
+    for _ in range(n):
+        state = step(state)
+    return sys, state
+
+
+def fluid_mask(state):
+    return np.asarray(state.active) & (np.asarray(state.fields["type"]) == FLUID)
+
+
+def test_reference_faithful_density_fixed_point():
+    cfg = WitchConfig(n_rows=24, dtype="float64")
+    sys, state = run_steps(cfg, 10)
+    act = fluid_mask(state)
+    f = state.fields
+    rho = np.asarray(f["rho"])[act]
+    rho_bg = background_density(cfg, np.asarray(f["x"])[act][:, 1])
+    # interior fixed point ~0.593 (boundary rows deviate)
+    assert np.median(rho / rho_bg) == pytest.approx(0.593, abs=0.02)
+    assert np.median(np.asarray(f["h"])[act]) / cfg.dr == pytest.approx(2.34, abs=0.05)
+    # state stays finite, count conserved
+    assert np.isfinite(np.asarray(f["v"])[act]).all()
+    assert int(state.n) == sys.n_built
+
+
+def test_self_density_is_much_more_static():
+    n_steps = 16
+    u_max = {}
+    for flag in (False, True):
+        cfg = WitchConfig(n_rows=30, dtype="float32", self_density=flag)
+        sys, state = run_steps(cfg, n_steps)
+        act = fluid_mask(state)
+        v = np.asarray(state.fields["v"])[act]
+        u_max[flag] = float(np.max(np.linalg.norm(v, axis=1)))
+    assert u_max[True] < 0.5 * u_max[False]
+    assert u_max[True] < 1.0  # m/s — far below c ≈ 255 m/s
+
+
+def test_witch_profile_and_mountain_generation():
+    # enabling the mountain adds FLUID particles below the profile
+    cfg = WitchConfig(n_rows=30, h_m=2000.0, a=8000.0)
+    sys = w.make_system(cfg)
+    host = sys.host_fields()
+    below = host["x"][:, 1] <= witch_profile(cfg, host["x"][:, 0])
+    assert below.sum() > 0
+    # profile value at x = a is h_m/2 (Witch of Agnesi)
+    assert witch_profile(cfg, cfg.a) == pytest.approx(cfg.h_m / 2)
+
+
+def test_run_loop_diagnostics():
+    cfg = WitchConfig(n_rows=16, t_end=0.8, n_frames=2, dtype="float32")
+    out = w.run(cfg)
+    assert len(out["u_avg"]) >= 2
+    assert np.isfinite(out["u_avg"]).all() and np.isfinite(out["u_max"]).all()
+    assert (out["u_max"] >= out["u_avg"]).all()
