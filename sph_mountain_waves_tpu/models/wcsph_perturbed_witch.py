@@ -118,7 +118,9 @@ def make_step(cfg: WitchConfig, engine):
                              self_interaction=cfg.self_density)
         state = apply_unary(state, finalize_density)
         state = apply_unary(state, update_smoothing)
-        state, nbrs = engine.rebuild(state)
+        # The reference rebuilds the cell list again here (:320) because h
+        # changed — but the engine's cell size is the fixed system radius and
+        # positions are unchanged, so the rebuild is a no-op; we reuse nbrs.
 
         state = apply_unary(state, compute_pressure)
         state = apply_unary(state, find_temperature)
@@ -138,11 +140,20 @@ def run(cfg: WitchConfig = WitchConfig(), out_path: str | None = None,
         verbose: bool = False):
     """main() loop (:356-407): frames every t_end/n_frames with avg/max
     velocity diagnostics; PVD output of (:v, :ρ, :P, :θ, :T, :type)."""
+    return _run_witch_scheme(cfg, make_system, make_step, EXPORT_VARS,
+                             out_path, verbose)
+
+
+def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
+                      out_path=None, verbose=False, setup=None):
+    """Shared main() skeleton of all witch schemes (SURVEY §2.2)."""
     from ..io import new_pvd_file, save_frame, save_pvd_file
 
-    sys = make_system(cfg)
+    sys = make_system_fn(cfg)
     state = sys.freeze()
-    step = make_step(cfg, sys.engine)
+    if setup is not None:
+        state = setup(cfg, sys.engine, state)
+    step = make_step_fn(cfg, sys.engine)
 
     n_steps = int(round(cfg.t_end / cfg.dt))
     steps_per_frame = max(1, int(round(cfg.t_end / cfg.n_frames / cfg.dt)))
@@ -151,7 +162,7 @@ def run(cfg: WitchConfig = WitchConfig(), out_path: str | None = None,
 
     out = new_pvd_file(out_path) if out_path else None
     if out:
-        save_frame(out, state, *EXPORT_VARS, time=0.0)
+        save_frame(out, state, *export_vars, time=0.0)
 
     ts, u_avgs, u_maxs = [], [], []
     k = 0
@@ -165,7 +176,7 @@ def run(cfg: WitchConfig = WitchConfig(), out_path: str | None = None,
             print(f"t = {t:.3f}  n = {int(state.n)}  "
                   f"u_avg = {float(u_avg):.4e}  u_max = {float(u_max):.4e}")
         if out:
-            save_frame(out, state, *EXPORT_VARS, time=t)
+            save_frame(out, state, *export_vars, time=t)
     if out:
         save_pvd_file(out)
     sys.state = state

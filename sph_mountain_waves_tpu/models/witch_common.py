@@ -20,6 +20,7 @@ import numpy as np
 
 from ..geometry import BoundaryLayer, Rectangle, Specification
 from ..grids import Grid
+from ..kernels import rDwendland2
 from ..structs import ParticleSystem, generate_particles
 from .common import masked_mean, masked_max
 
@@ -209,6 +210,36 @@ def velocity_diagnostics(state):
     src/current/wcsph_perturbed_witch.jl:338-350)."""
     v = jnp.sqrt(jnp.sum(state.fields["v"] ** 2, axis=-1))
     return masked_mean(v, state.active), masked_max(v, state.active)
+
+
+def monaghan_viscosity(cfg: WitchConfig, p, q, r, h_ij=None):
+    """Monaghan artificial-viscosity acceleration contribution (α, β, ε form;
+    e.g. wcsph_perturbed_witch.jl:275-285): −q.m·π_ij·rDw(h_ij,r)·x_pq for
+    approaching pairs, else 0. Returns [N, K, 2]."""
+    x_pq = p.x - q.x
+    dot_pq = jnp.sum(x_pq * (p.v - q.v), axis=-1)
+    if h_ij is None:
+        h_ij = 0.5 * (p.h + q.h)
+    ker = rDwendland2(h_ij, r)
+    prho = jnp.maximum(p.rho, cfg.rho_floor)
+    qrho = jnp.maximum(q.rho, cfg.rho_floor)
+    c_i = jnp.sqrt(jnp.maximum(cfg.gamma * p.P / prho, 0.0))
+    c_j = jnp.sqrt(jnp.maximum(cfg.gamma * q.P / qrho, 0.0))
+    c_ij = 0.5 * (c_i + c_j)
+    rho_ij = 0.5 * (prho + qrho)
+    mu_ij = (h_ij * dot_pq) / (r * r + cfg.eps * h_ij * h_ij)
+    pi_ij = (-cfg.alpha * c_ij * mu_ij + cfg.beta * mu_ij**2) / rho_ij
+    visc = jnp.where(dot_pq < 0.0, -q.m * pi_ij * ker, 0.0)
+    return visc[..., None] * x_pq
+
+
+def background_entropy_j(cfg: WitchConfig, y):
+    """A_bg = P_bg/ρ_bg^γ (full_hopkins_perturbed_witch.jl:198-202)."""
+    return background_pressure_j(cfg, y) / background_density_j(cfg, y) ** cfg.gamma
+
+
+def background_entropy(cfg: WitchConfig, y):
+    return background_pressure(cfg, y) / background_density(cfg, y) ** cfg.gamma
 
 
 def rayleigh_damping(cfg: WitchConfig, y):

@@ -120,7 +120,92 @@ def pair_sum(engine: NeighborEngine, state: ParticleState, nbrs: Neighbors,
     return sums["__out__"]
 
 
-def _binary_sums(engine, state, nbrs, action, self_interaction, params) -> dict:
+class _BucketView:
+    """Lazy bucketized field access for the cell-dense pair path.
+
+    p-side ("p"): [ncells, cap_p, 1(, d)]; q-side at a stencil offset ("q"):
+    [ncells, 1, cap_q(, d)] — both produced from one cached bucketization per
+    field; the q-side shift is a pure pad+slice, never a gather."""
+
+    def __init__(self, engine, nbrs, fields, cache, offset=None):
+        object.__setattr__(self, "_e", engine)
+        object.__setattr__(self, "_n", nbrs)
+        object.__setattr__(self, "_f", fields)
+        object.__setattr__(self, "_c", cache)
+        object.__setattr__(self, "_off", offset)
+
+    def _bucket(self, name):
+        if name not in self._c:
+            self._c[name] = self._e.bucketize(self._n, self._f[name])
+        return self._c[name]
+
+    def __getitem__(self, name):
+        B = self._bucket(name)
+        ncells = self._e.num_cells
+        if self._off is None:  # p side
+            G = B[:ncells]
+            return G[:, :, None] if G.ndim == 2 else G[:, :, None, :]
+        S = self._e.shift_cells(B, self._off)
+        return S[:, None, :] if S.ndim == 2 else S[:, None, :, :]
+
+    def __getattr__(self, name):
+        try:
+            return self.__getitem__(name)
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+
+def _binary_sums_cell(engine, state, nbrs, action, params) -> dict:
+    """Cell-dense pair sums: dense [ncells, cap_p, cap_q] blocks per stencil
+    offset, zero gathers in the pair loop (gathers happen once per field at
+    bucketize time, one per output at the end)."""
+    x = state.fields["x"]
+    N = x.shape[0]
+    dtype = x.dtype
+    cap = engine.cap
+    ncells = engine.num_cells
+    h = jnp.asarray(engine.h, dtype=dtype)
+
+    cache: dict = {}
+    occ = engine.occupancy(nbrs)              # [ncells+1, cap]
+    occ_p = occ[:ncells][:, :, None]          # [C, cap, 1]
+    xB = engine.bucketize(nbrs, x)
+    cache["x"] = xB
+    xp = xB[:ncells][:, :, None, :]
+    pview = _BucketView(engine, nbrs, state.fields, cache)
+
+    slot_eye = (jnp.arange(cap, dtype=jnp.int32)[:, None]
+                == jnp.arange(cap, dtype=jnp.int32)[None, :])
+
+    acc: dict = {}
+    for offset in engine.stencil:
+        occ_q = engine.shift_cells(occ, offset)[:, None, :]
+        xq = engine.shift_cells(xB, offset)[:, None, :, :]
+        r = dist(xp, xq)                      # [C, cap, cap]
+        mask = occ_p & occ_q & (r <= h)
+        if all(o == 0 for o in offset):
+            mask = mask & ~slot_eye[None, :, :]
+        r_safe = jnp.where(mask, r, 2.0 * h)
+        qview = _BucketView(engine, nbrs, state.fields, cache, offset=offset)
+        contrib = action(pview, qview, r_safe, **params)
+        for name, val in contrib.items():
+            m = mask if val.ndim == mask.ndim else mask[..., None]
+            s = jnp.sum(jnp.where(m, val.astype(dtype), 0), axis=2)  # q axis
+            acc[name] = s if name not in acc else acc[name] + s
+
+    # back to flat particle order: out[i] = acc[key_i, rank_i]
+    ok = state.active & (nbrs.rank < cap)
+    idx = jnp.where(ok, nbrs.key * cap + nbrs.rank, ncells * cap)
+    out: dict = {}
+    for name, val in acc.items():
+        flat = val.reshape((ncells * cap,) + val.shape[2:])
+        g = jnp.take(flat, jnp.minimum(idx, ncells * cap - 1), axis=0)
+        m = ok if g.ndim == 1 else ok[:, None]
+        out[name] = jnp.where(m, g, 0)
+    return out
+
+
+def _binary_sums_gather(engine, state, nbrs, action, params) -> dict:
     x = state.fields["x"]
     N = x.shape[0]
     dtype = x.dtype
@@ -140,6 +225,16 @@ def _binary_sums(engine, state, nbrs, action, self_interaction, params) -> dict:
         for name, val in contrib.items():
             s = _masked_sum(val, mask, dtype)
             acc[name] = s if name not in acc else acc[name] + s
+    return acc
+
+
+def _binary_sums(engine, state, nbrs, action, self_interaction, params) -> dict:
+    N = state.fields["x"].shape[0]
+    dtype = state.fields["x"].dtype
+    if getattr(engine, "pair_mode", "cell") == "cell":
+        acc = _binary_sums_cell(engine, state, nbrs, action, params)
+    else:
+        acc = _binary_sums_gather(engine, state, nbrs, action, params)
 
     if self_interaction:
         # reference: apply_unary!(p -> action!(p, p, 0.0)) (src/core.jl:156)

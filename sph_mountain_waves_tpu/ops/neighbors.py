@@ -44,6 +44,7 @@ class Neighbors:
     """Device-side neighbor structure for one rebuilt configuration."""
     cell: jnp.ndarray       # [N, dim] int32 per-axis cell coords (clipped)
     key: jnp.ndarray        # [N] int32 flat cell key; num_cells = trash
+    rank: jnp.ndarray       # [N] int32 slot within the cell (sorted order)
     counts: jnp.ndarray     # [num_cells+1] int32 particles per cell
     starts: jnp.ndarray     # [num_cells+1] int32 exclusive prefix
     bucket: jnp.ndarray     # [num_cells+1, cap] int32 particle slots (0-pad)
@@ -65,11 +66,17 @@ class NeighborEngine:
     dtype: Any = jnp.float32
     mins: tuple = ()      # domain box, per axis (containment screen)
     maxs: tuple = ()
+    # pair-sweep implementation: "cell" = dense [ncells, cap, cap] blocks with
+    # pad+slice stencil shifts (zero gathers in the pair loop — the fast TPU
+    # path); "gather" = per-particle candidate gathers (reference-shaped,
+    # kept for cross-checking)
+    pair_mode: str = "cell"
 
     # ------------------------------------------------------------- creation
     @staticmethod
     def create(box, h: float, dim: int, positions: np.ndarray | None = None,
-               cap: int | None = None, dtype=jnp.float32) -> "NeighborEngine":
+               cap: int | None = None, dtype=jnp.float32,
+               pair_mode: str = "auto") -> "NeighborEngine":
         """Build an engine for domain ``box`` (a geometry.Box) and radius h.
 
         Key arithmetic matches reference src/structs.jl:66-68 exactly:
@@ -81,9 +88,16 @@ class NeighborEngine:
         lims = (np.floor(maxs / h).astype(np.int64) - phase + 1)
         if cap is None:
             cap = NeighborEngine._estimate_cap(positions, h, phase, lims, dim)
+        if pair_mode == "auto":
+            # dense cell blocks pay off only when the grid is well occupied;
+            # sparse clouds in a large domain are better served by gathers
+            num_cells = int(np.prod(lims))
+            n = 0 if positions is None else len(positions)
+            pair_mode = "cell" if num_cells * cap <= 4 * max(n, 1) else "gather"
         return NeighborEngine(dim=dim, h=float(h), phase=tuple(int(p) for p in phase),
                               lims=tuple(int(l) for l in lims), cap=int(cap),
-                              dtype=dtype, mins=tuple(mins), maxs=tuple(maxs))
+                              dtype=dtype, mins=tuple(mins), maxs=tuple(maxs),
+                              pair_mode=pair_mode)
 
     @staticmethod
     def _estimate_cap(positions, h, phase, lims, dim) -> int:
@@ -161,9 +175,41 @@ class NeighborEngine:
                   .at[slot].set(jnp.arange(N, dtype=jnp.int32), mode="drop")
                   .reshape(self.num_cells + 1, self.cap))
         overflow = jnp.maximum(jnp.max(counts[: self.num_cells]) - self.cap, 0)
-        nbrs = Neighbors(cell=cell_s, key=key_s, counts=counts, starts=starts,
-                         bucket=bucket, overflow=overflow)
+        nbrs = Neighbors(cell=cell_s, key=key_s, rank=rank, counts=counts,
+                         starts=starts, bucket=bucket, overflow=overflow)
         return sorted_state, nbrs
+
+    # ------------------------------------------------- cell-dense helpers
+    def bucketize(self, nbrs: Neighbors, arr: jnp.ndarray) -> jnp.ndarray:
+        """Flat [N, ...] field → dense bucket tensor [num_cells+1, cap, ...]
+        (slot-padded with row 0's data; pair validity comes from occupancy)."""
+        return arr[nbrs.bucket]
+
+    def occupancy(self, nbrs: Neighbors) -> jnp.ndarray:
+        """[num_cells+1, cap] bool: slot k of cell c holds a particle."""
+        return (jnp.arange(self.cap, dtype=jnp.int32)[None, :]
+                < nbrs.counts[:, None])
+
+    def shift_cells(self, B: jnp.ndarray, offset: tuple) -> jnp.ndarray:
+        """Bring each cell's stencil-neighbor block to the cell's own slot:
+        out[c] = B[c + offset] with zero padding at grid edges. Pure pad+slice
+        (no gather) — the zero-gather heart of the cell-dense pair path."""
+        rest = B.shape[1:]
+        if self.dim == 2:
+            di, dj = offset
+            nx, ny = self.lims
+            G = B[: nx * ny].reshape((ny, nx) + rest)
+            pad = ((1, 1), (1, 1)) + ((0, 0),) * len(rest)
+            P = jnp.pad(G, pad)
+            out = P[1 + dj: 1 + dj + ny, 1 + di: 1 + di + nx]
+            return out.reshape((nx * ny,) + rest)
+        di, dj, dk = offset
+        nx, ny, nz = self.lims
+        G = B[: nx * ny * nz].reshape((nz, ny, nx) + rest)
+        pad = ((1, 1), (1, 1), (1, 1)) + ((0, 0),) * len(rest)
+        P = jnp.pad(G, pad)
+        out = P[1 + dk: 1 + dk + nz, 1 + dj: 1 + dj + ny, 1 + di: 1 + di + nx]
+        return out.reshape((nx * ny * nz,) + rest)
 
     # ------------------------------------------------- stencil candidates
     def stencil_candidates(self, nbrs: Neighbors, offset: tuple):

@@ -1,0 +1,108 @@
+"""Sharded simulation runner: scheme steps under shard_map.
+
+Builds the full distributed step — migrate/halo/rebuild (ShardEngine) plus
+the scheme's unchanged physics closures — as one ``shard_map``-wrapped,
+jitted function over a 1-D device mesh, with ``psum``/``pmax`` global
+diagnostics. This is the TPU-native analogue of scaling the reference by
+thread count (SURVEY §2.6): slab domain decomposition over ICI.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..structs import ParticleState
+from .domain import OWNED, DomainSharding, ShardEngine, make_mesh, shard_state
+
+__all__ = ["make_sharded_runner", "build_domain_sharding"]
+
+
+def build_domain_sharding(sys, n_dev: int, halo: int | None = None,
+                          migr: int | None = None,
+                          shard_headroom: float = 1.5) -> DomainSharding:
+    """Size the per-device capacities from the built system."""
+    eng = sys.engine
+    n = sys.n_built
+    n_shard = int(-(-int(n / n_dev * shard_headroom) // 8) * 8) + 8
+    ny = eng.lims[1] if eng.dim >= 2 else 1
+    nz = eng.lims[2] if eng.dim == 3 else 1
+    if halo is None:
+        halo = int(2 * ny * nz * eng.cap)
+    if migr is None:
+        migr = int(-(-ny * nz * eng.cap // 2))
+    return DomainSharding(engine=eng, n_dev=n_dev, n_shard=n_shard,
+                          halo=halo, migr=migr)
+
+
+def make_sharded_runner(ds: DomainSharding, mesh: Mesh, make_step,
+                        steps_per_frame: int = 1):
+    """``make_step(engine) -> step(state)`` is the scheme's step builder
+    (already bound to its config). Returns (run_frame, diagnostics) —
+    run_frame advances ``steps_per_frame`` steps fully on-device."""
+    seng = ShardEngine(ds)
+    step = make_step(seng)
+    spec = P("x")
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    def shard_step_chunk(state: ParticleState) -> ParticleState:
+        def body(s, _):
+            return step(s), None
+        state, _ = jax.lax.scan(body, state, None, length=steps_per_frame)
+        return state
+
+    run_frame = jax.jit(shard_step_chunk, donate_argnums=0)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
+             out_specs=(P(), P(), P()))
+    def _diag(state: ParticleState):
+        owned = (state.fields[OWNED] > 0.5) & state.active
+        v = jnp.sqrt(jnp.sum(state.fields["v"] ** 2, axis=-1))
+        s = jax.lax.psum(jnp.sum(jnp.where(owned, v, 0)), "x")
+        n = jax.lax.psum(jnp.sum(owned), "x")
+        vmax = jax.lax.pmax(jnp.max(jnp.where(owned, v, 0)), "x")
+        return s / jnp.maximum(n, 1), vmax, n
+
+    return run_frame, jax.jit(_diag)
+
+
+def run_sharded_witch(cfg, n_dev: int | None = None, n_frames: int | None = None,
+                      steps_per_frame: int | None = None, verbose: bool = False):
+    """Distributed mountain-wave run (flagship multi-chip path)."""
+    from ..models import wcsph_perturbed_witch as w
+
+    mesh = make_mesh(n_dev)
+    n_dev = mesh.devices.size
+    sys = w.make_system(cfg)
+    sys.freeze()  # builds the global engine
+    ds = build_domain_sharding(sys, n_dev)
+    state = shard_state(ds, sys.state, mesh)
+
+    if steps_per_frame is None:
+        n_steps = int(round(cfg.t_end / cfg.dt))
+        n_frames = n_frames or cfg.n_frames
+        steps_per_frame = max(1, n_steps // max(n_frames, 1))
+    else:
+        n_steps = steps_per_frame * (n_frames or 1)
+
+    run_frame, diag = make_sharded_runner(
+        ds, mesh, lambda eng: w.make_step(cfg, eng), steps_per_frame)
+
+    ts, u_avgs, u_maxs, ns = [], [], [], []
+    k = 0
+    while k < n_steps:
+        state = run_frame(state)
+        k += steps_per_frame
+        u_avg, u_max, n = diag(state)
+        ts.append(k * cfg.dt)
+        u_avgs.append(float(u_avg)); u_maxs.append(float(u_max))
+        ns.append(int(n))
+        if verbose:
+            print(f"t = {ts[-1]:.3f}  n = {ns[-1]}  u_avg = {u_avgs[-1]:.4e}  "
+                  f"u_max = {u_maxs[-1]:.4e}")
+    return {"t": np.asarray(ts), "u_avg": np.asarray(u_avgs),
+            "u_max": np.asarray(u_maxs), "n": np.asarray(ns),
+            "state": state, "system": sys, "sharding": ds, "mesh": mesh}

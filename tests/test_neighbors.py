@@ -179,3 +179,31 @@ def test_jit_and_scan_compatible():
     s1 = np.asarray(step(state)[1])
     s2 = np.asarray(step(state)[1])
     np.testing.assert_array_equal(s1, s2)  # deterministic across runs
+
+
+def test_cell_mode_matches_gather_mode():
+    import dataclasses
+    import jax.numpy as jnp
+    from sph_mountain_waves_tpu.kernels import rDwendland2, wendland2
+    for dim, seed in [(2, 21), (3, 22)]:
+        sys, state, x, m = make_cloud(400, dim, 1.0, 0.17, seed=seed)
+        eng_cell = dataclasses.replace(sys.engine, pair_mode="cell")
+        eng_gather = dataclasses.replace(sys.engine, pair_mode="gather")
+        state2, nbrs = eng_cell.rebuild(state)
+
+        def f(p, q, r):
+            return q.m * wendland2(0.17, r) + rDwendland2(0.17, r) * jnp.sum(
+                (p.x - q.x) ** 2, axis=-1)
+
+        a = np.asarray(pair_sum(eng_cell, state2, nbrs, f))
+        b = np.asarray(pair_sum(eng_gather, state2, nbrs, f))
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+
+        def fv(p, q, r):
+            return {"vsum": (q.m * rDwendland2(0.17, r))[..., None] * (p.x - q.x)}
+
+        sys.field_specs["vsum"] = (dim,)
+        st = state2.replace(vsum=jnp.zeros_like(state2.fields["x"]))
+        av = np.asarray(apply_binary(eng_cell, st, nbrs, fv).fields["vsum"])
+        bv = np.asarray(apply_binary(eng_gather, st, nbrs, fv).fields["vsum"])
+        np.testing.assert_allclose(av, bv, rtol=1e-12, atol=1e-12)

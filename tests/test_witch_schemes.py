@@ -1,0 +1,98 @@
+"""Gates for the remaining mountain-wave schemes (hopkins_perturbed,
+full_hopkins, hopkins_total, pavelka) and the packing utilities."""
+import jax
+import numpy as np
+import pytest
+
+from sph_mountain_waves_tpu.models.witch_common import FLUID, WitchConfig
+from sph_mountain_waves_tpu.models import (
+    full_hopkins_perturbed_witch as fh,
+    hopkins_perturbed_witch as hp,
+    hopkins_total_witch as ht,
+    pavelka_total_witch as pv,
+)
+
+CFG = WitchConfig(n_rows=16, t_end=0.6, n_frames=2, dtype="float32",
+                  self_density=True)
+
+
+def _finite(out):
+    f = out["state"].fields
+    act = np.asarray(out["state"].active)
+    for name in ("rho", "P", "T", "v"):
+        assert np.isfinite(np.asarray(f[name])[act]).all(), name
+
+
+def test_hopkins_perturbed_runs_and_stays_calm():
+    out = hp.run(CFG)
+    _finite(out)
+    assert out["system"].n == out["system"].n_built
+    # perturbation scheme with self-terms: far subsonic spurious motion
+    assert out["u_max"][-1] < 0.05 * CFG.c
+
+
+def test_hopkins_pressure_entropy_consistency():
+    # at init A = P/rho^gamma; the smoothed pressure P̄ = (Σ m A^{1/γ} W)^γ
+    # should track the background pressure within lattice error
+    sys = hp.make_system(CFG)
+    state = sys.freeze()
+    step = jax.jit(hp.make_step(CFG, sys.engine))
+    state = step(state)
+    f = state.fields
+    act = np.asarray(state.active) & (np.asarray(f["type"]) == FLUID)
+    ratio = np.asarray(f["P"])[act] / np.asarray(f["P_bg"])[act]
+    assert np.median(ratio) == pytest.approx(1.0, abs=0.25)
+
+
+def test_full_hopkins_background_split_reduces_drift():
+    out = fh.run(CFG)
+    _finite(out)
+    assert out["u_max"][-1] < 0.05 * CFG.c
+
+
+def test_hopkins_total_with_packing():
+    out = ht.run(CFG, packing=True)
+    _finite(out)
+    # total-variable scheme: the unfiltered fence falls (reference :269-276);
+    # fluid must stay subsonic
+    assert out["u_max"][-1] < CFG.c
+
+
+def test_pavelka_fixed_diffusion_stays_finite():
+    cfg = pv.PavelkaConfig(n_rows=16, t_end=0.6, n_frames=2, dtype="float32")
+    out = pv.run(cfg, packing=False)
+    _finite(out)
+    assert out["system"].n == out["system"].n_built  # no particle loss
+
+
+def test_pavelka_faithful_diffusion_diverges_like_reference():
+    # the committed reference term blows density up (SURVEY §2.4); our
+    # faithful mode reproduces the divergence (NaN -> particle removal)
+    cfg = pv.PavelkaConfig(n_rows=16, t_end=0.25, n_frames=1,
+                           dtype="float32", fixed_diffusion=False)
+    out = pv.run(cfg, packing=False)
+    assert out["system"].n < out["system"].n_built
+
+
+def test_hydrostatic_packing_reduces_density_error():
+    from sph_mountain_waves_tpu.models import hopkins_total_witch as htm
+    from sph_mountain_waves_tpu.utils.packing import hydrostatic_packing
+    cfg = WitchConfig(n_rows=16, dtype="float32")
+    sys = htm.make_system(cfg)
+    state = sys.freeze()
+    packed, info = hydrostatic_packing(cfg, sys.engine, state, max_steps=60,
+                                       return_info=True)
+    # the packing's own residual (no-self-term summation vs analytic
+    # profile, new_packing.jl:108-127) must decrease
+    assert info["err"] < info["err0"]
+    assert np.isfinite(np.asarray(packed.fields["x"])).all()
+
+
+def test_colagrossi_packing_runs_with_fixed_params():
+    cfg = pv.PavelkaConfig(n_rows=16, dtype="float32")
+    sys = pv.make_system(cfg)
+    state = sys.freeze()
+    from sph_mountain_waves_tpu.utils.packing import colagrossi_packing
+    packed = colagrossi_packing(cfg, sys.engine, state, max_steps=10)
+    assert int(packed.n) == sys.n_built
+    assert np.isfinite(np.asarray(packed.fields["x"])).all()
