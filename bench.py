@@ -26,6 +26,7 @@ def main() -> None:
     ap.add_argument("--particles", type=float, default=1e6)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--skin", type=float, default=0.2)
     ap.add_argument("--self-density", action="store_true", default=True)
     args = ap.parse_args()
 
@@ -38,7 +39,8 @@ def main() -> None:
     # pick n_rows so built particle count ≈ target (N ≈ n_rows^2 * L/H / hex_a)
     target = args.particles
     n_rows = max(8, int(round(math.sqrt(target / (400e3 / 26e3) / 1.0746))))
-    cfg = WitchConfig(n_rows=n_rows, dtype="float32", self_density=True)
+    cfg = WitchConfig(n_rows=n_rows, dtype="float32", self_density=True,
+                      layout="bucket", skin=args.skin)
     sys_ = w.make_system(cfg)
     state = sys_.freeze()
     n = sys_.n_built

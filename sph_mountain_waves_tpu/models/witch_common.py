@@ -67,6 +67,12 @@ class WitchConfig:
     # under the adaptive-h fixed point and makes the static atmosphere drift.
     # self_density=True enables the standard self-inclusive summation.
     self_density: bool = False
+    # neighbor-engine options: "bucket" layout keeps the state resident in
+    # transposed cell buckets (zero-gather/zero-scatter pair sweeps; the fast
+    # single-chip path); skin > 0 widens cells to (1+skin)·h and defers the
+    # rescatter until a particle drifts by skin·h/2
+    layout: str = "flat"
+    skin: float = 0.0
 
     @property
     def dr(self) -> float:
@@ -178,6 +184,7 @@ def make_witch_system(cfg: WitchConfig, fields: dict,
 
     sys = ParticleSystem(fields=fields, domain=domain + fence, h=cfg.h0,
                          dim=2, dtype=cfg.jdtype)
+    sys.freeze_opts = {"layout": cfg.layout, "skin": cfg.skin}
     generate_particles(sys, grid, domain - mountain, lambda xs: {"type": FLUID})
     generate_particles(sys, grid, fence, lambda xs: {"type": WALL})
     generate_particles(sys, grid, mountain, lambda xs: {"type": FLUID})

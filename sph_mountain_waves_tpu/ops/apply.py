@@ -205,6 +205,75 @@ def _binary_sums_cell(engine, state, nbrs, action, params) -> dict:
     return out
 
 
+class _ResidentView:
+    """Lazy resident-layout field access: the state flat rows are bucket
+    slots, so views are pure reshapes/slices — zero gathers and scatters.
+
+    p side: [cap, 1, C(, d)]; q side at an offset: [1, cap, C(, d)]."""
+
+    def __init__(self, engine, fields, offset=None):
+        object.__setattr__(self, "_e", engine)
+        object.__setattr__(self, "_f", fields)
+        object.__setattr__(self, "_off", offset)
+
+    def __getitem__(self, name):
+        e = self._e
+        B = e.resident(self._f[name])  # [cap, C+1(, d)]
+        if self._off is None:
+            G = B[:, : e.num_cells]
+            return G[:, None] if G.ndim == 2 else G[:, None, :, :]
+        S = e.shift_resident(B, self._off)   # [cap, C(, d)]
+        return S[None] if S.ndim == 2 else S[None, :, :, :]
+
+    def __getattr__(self, name):
+        try:
+            return self.__getitem__(name)
+        except KeyError as exc:
+            raise AttributeError(name) from exc
+
+
+def _binary_sums_resident(engine, state, nbrs, action, params) -> dict:
+    """Pair sums for bucket-resident state: dense [cap_p, cap_q, C] blocks
+    with cells riding the vector lanes; no gathers or scatters anywhere."""
+    cap = engine.cap
+    C = engine.num_cells
+    dtype = state.fields["x"].dtype
+    h = jnp.asarray(engine.h, dtype=dtype)
+
+    actB = engine.resident(state.active)              # [cap, C+1]
+    occ_p = actB[:, : C][:, None, :]                  # [cap, 1, C]
+    xB = engine.resident(state.fields["x"])           # [cap, C+1, d]
+    xp = xB[:, : C][:, None, :, :]                    # [cap, 1, C, d]
+    pview = _ResidentView(engine, state.fields)
+
+    eye = (jnp.arange(cap, dtype=jnp.int32)[:, None]
+           == jnp.arange(cap, dtype=jnp.int32)[None, :])[:, :, None]
+
+    acc: dict = {}
+    for offset in engine.stencil:
+        occ_q = engine.shift_resident(actB, offset)[None]   # [1, cap, C]
+        xq = engine.shift_resident(xB, offset)[None]        # [1, cap, C, d]
+        r = dist(xp, xq)                                    # [cap, cap, C]
+        mask = occ_p & occ_q & (r <= h)
+        if all(o == 0 for o in offset):
+            mask = mask & ~eye
+        r_safe = jnp.where(mask, r, 2.0 * h)
+        qview = _ResidentView(engine, state.fields, offset=offset)
+        contrib = action(pview, qview, r_safe, **params)
+        for name, val in contrib.items():
+            m = mask if val.ndim == mask.ndim else mask[..., None]
+            s = jnp.sum(jnp.where(m, val.astype(dtype), 0), axis=1)  # q axis
+            acc[name] = s if name not in acc else acc[name] + s
+
+    # back to flat slot order: pad the trash column, reshape
+    out: dict = {}
+    for name, val in acc.items():  # val [cap, C(, d)]
+        pad = ((0, 0), (0, 1)) + ((0, 0),) * (val.ndim - 2)
+        out[name] = jnp.pad(val, pad).reshape(
+            (cap * (C + 1),) + val.shape[2:])
+    return out
+
+
 def _binary_sums_gather(engine, state, nbrs, action, params) -> dict:
     x = state.fields["x"]
     N = x.shape[0]
@@ -231,7 +300,9 @@ def _binary_sums_gather(engine, state, nbrs, action, params) -> dict:
 def _binary_sums(engine, state, nbrs, action, self_interaction, params) -> dict:
     N = state.fields["x"].shape[0]
     dtype = state.fields["x"].dtype
-    if getattr(engine, "pair_mode", "cell") == "cell":
+    if getattr(engine, "layout", "flat") == "bucket":
+        acc = _binary_sums_resident(engine, state, nbrs, action, params)
+    elif getattr(engine, "pair_mode", "cell") == "cell":
         acc = _binary_sums_cell(engine, state, nbrs, action, params)
     else:
         acc = _binary_sums_gather(engine, state, nbrs, action, params)

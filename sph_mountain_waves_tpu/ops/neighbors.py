@@ -71,23 +71,36 @@ class NeighborEngine:
     # path); "gather" = per-particle candidate gathers (reference-shaped,
     # kept for cross-checking)
     pair_mode: str = "cell"
+    # state layout: "flat" = particles in arbitrary row order, sorted at each
+    # rebuild; "bucket" = state rows ARE bucket slots (slot = rank*(C+1)+key,
+    # transposed so cells ride the vector lanes) — the zero-gather/zero-scatter
+    # hot path. With a positive ``skin``, cells are (1+skin)·h wide and the
+    # expensive rescatter runs only when some particle has drifted more than
+    # skin·h/2 since the last one (a lax.cond inside rebuild); the r ≤ h pair
+    # cutoff is unaffected. Out-of-domain removal is deferred to the next
+    # rescatter (the reference removes every step, src/core.jl:63-81).
+    layout: str = "flat"
+    skin: float = 0.0
 
     # ------------------------------------------------------------- creation
     @staticmethod
     def create(box, h: float, dim: int, positions: np.ndarray | None = None,
                cap: int | None = None, dtype=jnp.float32,
-               pair_mode: str = "auto") -> "NeighborEngine":
-        """Build an engine for domain ``box`` (a geometry.Box) and radius h.
+               pair_mode: str = "auto", layout: str = "flat",
+               skin: float = 0.0) -> "NeighborEngine":
+        """Build an engine for domain ``box`` and interaction radius h.
 
-        Key arithmetic matches reference src/structs.jl:66-68 exactly:
-        phase_a = floor(min_a/h), lim_a = floor(max_a/h) − phase_a + 1.
+        Key arithmetic matches reference src/structs.jl:66-68 (with cell size
+        (1+skin)·h): phase_a = floor(min_a/L), lim_a = floor(max_a/L) −
+        phase_a + 1.
         """
+        L = h * (1.0 + skin)
         mins = np.asarray(box.mins[:dim], dtype=np.float64)
         maxs = np.asarray(box.maxs[:dim], dtype=np.float64)
-        phase = np.floor(mins / h).astype(np.int64)
-        lims = (np.floor(maxs / h).astype(np.int64) - phase + 1)
+        phase = np.floor(mins / L).astype(np.int64)
+        lims = (np.floor(maxs / L).astype(np.int64) - phase + 1)
         if cap is None:
-            cap = NeighborEngine._estimate_cap(positions, h, phase, lims, dim)
+            cap = NeighborEngine._estimate_cap(positions, L, phase, lims, dim)
         if pair_mode == "auto":
             # dense cell blocks pay off only when the grid is well occupied;
             # sparse clouds in a large domain are better served by gathers
@@ -97,7 +110,16 @@ class NeighborEngine:
         return NeighborEngine(dim=dim, h=float(h), phase=tuple(int(p) for p in phase),
                               lims=tuple(int(l) for l in lims), cap=int(cap),
                               dtype=dtype, mins=tuple(mins), maxs=tuple(maxs),
-                              pair_mode=pair_mode)
+                              pair_mode=pair_mode, layout=layout, skin=float(skin))
+
+    @property
+    def cell_size(self) -> float:
+        return self.h * (1.0 + self.skin)
+
+    @property
+    def slots(self) -> int:
+        """State capacity in bucket layout: cap rows × (num_cells+1) columns."""
+        return self.cap * (self.num_cells + 1)
 
     @staticmethod
     def _estimate_cap(positions, h, phase, lims, dim) -> int:
@@ -143,10 +165,19 @@ class NeighborEngine:
 
     # ------------------------------------------------------------- rebuild
     def rebuild(self, state: ParticleState) -> tuple[ParticleState, Neighbors]:
-        """Screen + sort + bucket. Returns the state with all fields permuted
-        into cell order and the neighbor structure. Jit-safe."""
+        """Refresh the neighbor structure. Jit-safe.
+
+        flat layout: screen + stable sort into cell order + bucket table.
+        bucket layout: rescatter into slot positions only if some particle
+        drifted past the skin budget (lax.cond), then derive the implicit
+        neighbor structure from the slot layout itself.
+        """
+        if self.layout == "bucket":
+            return self._rebuild_bucket(state)
+        return self._rebuild_flat(state)
+
+    def _screen_and_key(self, state: ParticleState):
         x = state.fields["x"]
-        N = x.shape[0]
         mins = jnp.asarray(self.mins, dtype=x.dtype)
         maxs = jnp.asarray(self.maxs, dtype=x.dtype)
         finite = jnp.all(jnp.isfinite(x), axis=-1)
@@ -154,11 +185,15 @@ class NeighborEngine:
         active = state.active & jnp.where(finite, inside, False)
 
         xsafe = jnp.where(finite[:, None], x, 0.0)
-        cell = (jnp.floor(xsafe / self.h).astype(jnp.int32)
+        cell = (jnp.floor(xsafe / self.cell_size).astype(jnp.int32)
                 - jnp.asarray(self.phase, dtype=jnp.int32))
         cell = jnp.clip(cell, 0, jnp.asarray(self.lims, dtype=jnp.int32) - 1)
         key = jnp.where(active, self.flat_key(cell), self.num_cells).astype(jnp.int32)
+        return active, cell, key
 
+    def _rebuild_flat(self, state: ParticleState) -> tuple[ParticleState, Neighbors]:
+        N = state.fields["x"].shape[0]
+        active, cell, key = self._screen_and_key(state)
         order = jnp.argsort(key, stable=True)
         fields = {name: arr[order] for name, arr in state.fields.items()}
         sorted_state = ParticleState(fields=fields, active=active[order])
@@ -178,6 +213,90 @@ class NeighborEngine:
         nbrs = Neighbors(cell=cell_s, key=key_s, rank=rank, counts=counts,
                          starts=starts, bucket=bucket, overflow=overflow)
         return sorted_state, nbrs
+
+    # ------------------------------------------------ bucket-layout rebuild
+    def _full_rescatter(self, state: ParticleState) -> ParticleState:
+        """Re-place every active particle at its slot rank*(C+1)+key.
+        Inactive and overflowed rows are dropped (reference removal semantics
+        + capped buckets); ``_xref`` is reset to the new positions."""
+        C, cap = self.num_cells, self.cap
+        active, cell, key = self._screen_and_key(state)
+        order = jnp.argsort(key, stable=True)
+        key_s = key[order]
+        counts = jnp.zeros(C + 1, dtype=jnp.int32).at[key_s].add(1)
+        starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+        rank = jnp.arange(key.shape[0], dtype=jnp.int32) - starts[key_s]
+        slot = jnp.where((rank < cap) & (key_s < C),
+                         rank * (C + 1) + key_s, self.slots)
+        fields = {}
+        for name, arr in state.fields.items():
+            if name == "_xref":
+                continue
+            fields[name] = (jnp.zeros_like(arr).at[slot].set(arr[order],
+                                                             mode="drop"))
+        fields["_xref"] = fields["x"]
+        new_active = (jnp.zeros_like(state.active)
+                      .at[slot].set(active[order], mode="drop"))
+        return ParticleState(fields=fields, active=new_active)
+
+    def _rebuild_bucket(self, state: ParticleState) -> tuple[ParticleState, Neighbors]:
+        C, cap = self.num_cells, self.cap
+        x = state.fields["x"]
+        d2 = jnp.sum((x - state.fields["_xref"]) ** 2, axis=-1)
+        d2 = jnp.nan_to_num(jnp.where(state.active, d2, 0.0), nan=jnp.inf,
+                            posinf=jnp.inf)
+        budget = (0.5 * self.skin * self.h) ** 2
+        need = jnp.max(d2) > budget
+        state = jax.lax.cond(need, self._full_rescatter, lambda s: s, state)
+
+        # implicit neighbor structure: the layout IS the cell assignment
+        col = jnp.arange(C + 1, dtype=jnp.int32)
+        key = jnp.tile(col, cap)
+        rank = jnp.repeat(jnp.arange(cap, dtype=jnp.int32), C + 1)
+        nx = self.lims[0]
+        if self.dim == 2:
+            cellc = jnp.stack([key % nx, key // nx], axis=-1)
+        else:
+            ny = self.lims[1]
+            cellc = jnp.stack([key % nx, (key // nx) % ny, key // (nx * ny)],
+                              axis=-1)
+        counts = jnp.sum(state.active.reshape(cap, C + 1), axis=0).astype(jnp.int32)
+        starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+        bucket = (jnp.arange(cap, dtype=jnp.int32)[:, None] * (C + 1)
+                  + col[None, :]).T  # [C+1, cap] slot ids
+        nbrs = Neighbors(cell=cellc, key=key, rank=rank, counts=counts,
+                         starts=starts, bucket=bucket,
+                         overflow=jnp.zeros((), jnp.int32))
+        return state, nbrs
+
+    def resident(self, arr: jnp.ndarray) -> jnp.ndarray:
+        """View a bucket-layout flat field [slots(, d)] as [cap, C+1(, d)]."""
+        return arr.reshape((self.cap, self.num_cells + 1) + arr.shape[1:])
+
+    def shift_resident(self, B: jnp.ndarray, offset: tuple) -> jnp.ndarray:
+        """Stencil shift for resident layout: B [cap, C+1, ...] →
+        [cap, C, ...] where out[:, c] = B[:, c+offset] (zeros at grid edges).
+        Pure pad+slice along the trailing cell axes."""
+        cap = B.shape[0]
+        rest = B.shape[2:]
+        if self.dim == 2:
+            di, dj = offset
+            nx, ny = self.lims
+            G = B[:, : nx * ny].reshape((cap, ny, nx) + rest)
+            pad = ((0, 0), (1, 1), (1, 1)) + ((0, 0),) * len(rest)
+            P = jnp.pad(G, pad)
+            out = P[:, 1 + dj: 1 + dj + ny, 1 + di: 1 + di + nx]
+            return out.reshape((cap, nx * ny) + rest)
+        di, dj, dk = offset
+        nx, ny, nz = self.lims
+        G = B[:, : nx * ny * nz].reshape((cap, nz, ny, nx) + rest)
+        pad = ((0, 0), (1, 1), (1, 1), (1, 1)) + ((0, 0),) * len(rest)
+        P = jnp.pad(G, pad)
+        out = P[:, 1 + dk: 1 + dk + nz, 1 + dj: 1 + dj + ny,
+                1 + di: 1 + di + nx]
+        return out.reshape((cap, nx * ny * nz) + rest)
 
     # ------------------------------------------------- cell-dense helpers
     def bucketize(self, nbrs: Neighbors, arr: jnp.ndarray) -> jnp.ndarray:

@@ -101,6 +101,7 @@ class ParticleSystem:
         self._chunks: list[dict[str, np.ndarray]] = []
         self.state: ParticleState | None = None
         self.engine = None  # set by freeze()
+        self.freeze_opts: dict = {}  # default kwargs for freeze()
 
     # ---------------------------------------------------------------- build
     def add_particles(self, xs: np.ndarray, values: dict) -> None:
@@ -144,35 +145,53 @@ class ParticleSystem:
 
     # --------------------------------------------------------------- freeze
     def freeze(self, capacity: int | None = None, cap: int | None = None,
-               engine=None) -> ParticleState:
+               engine=None, **engine_opts) -> ParticleState:
         """Materialize the device-side ``ParticleState`` (and a
         ``NeighborEngine``, stored as ``self.engine``).
 
         capacity : total particle slots (≥ built count); extra slots start
             inactive and serve as spawn pools (reference dynamic-N semantics,
-            sph_jl/examples/cylinder.jl:150-161).
+            sph_jl/examples/cylinder.jl:150-161). Ignored for the bucket
+            layout, whose capacity is the engine's slot count.
         cap : neighbor-cell bucket capacity override (default: measured
             max occupancy × 1.5 + margin).
+        engine_opts : forwarded to NeighborEngine.create (layout, skin,
+            pair_mode, …); defaults come from ``self.freeze_opts``.
         """
         from .ops.neighbors import NeighborEngine  # avoid import cycle
 
         host = self.host_fields()
         n = len(host["x"])
-        if capacity is None:
-            capacity = max(n, 1)
-        capacity = int(-(-capacity // 8) * 8)  # round up to multiple of 8
+        if engine is None:
+            opts = dict(self.freeze_opts)
+            opts.update(engine_opts)
+            engine = NeighborEngine.create(
+                box=self.domain, h=self.h, dim=self.dim,
+                positions=host["x"] if n else None, cap=cap, dtype=self.dtype,
+                **opts)
+        self.engine = engine
+
+        if engine.layout == "bucket":
+            # rows ARE bucket slots; _xref=inf forces the first rebuild to
+            # rescatter the arbitrarily-placed initial rows into slots
+            self.field_specs.setdefault("_xref", (self.dim,))
+            capacity = engine.slots
+            assert n <= capacity, (n, capacity)
+        else:
+            if capacity is None:
+                capacity = max(n, 1)
+            capacity = int(-(-capacity // 8) * 8)  # round up to multiple of 8
+
         fields = {}
         for name, shape in self.field_specs.items():
             arr = np.zeros((capacity,) + shape, dtype=np.float64)
-            arr[:n] = host[name]
+            if name == "_xref":
+                arr[:] = np.inf
+            elif name in host:
+                arr[:n] = host[name]
             fields[name] = jnp.asarray(arr, dtype=self.dtype)
         active = jnp.arange(capacity) < n
         self.state = ParticleState(fields=fields, active=active)
-        if engine is None:
-            engine = NeighborEngine.create(
-                box=self.domain, h=self.h, dim=self.dim,
-                positions=host["x"] if n else None, cap=cap, dtype=self.dtype)
-        self.engine = engine
         return self.state
 
     # ------------------------------------------------------------ accessors
