@@ -1,0 +1,60 @@
+"""Gates for the lid-driven cavity (probes vs Ghia) and the DFG cylinder
+(inflow recycling, drag measurement)."""
+import os
+
+import numpy as np
+import pytest
+
+from sph_mountain_waves_tpu.models import cavity_flow as cf
+from sph_mountain_waves_tpu.models import cylinder as cy
+
+DATA = os.path.join(os.path.dirname(__file__), "reference_data")
+
+
+def test_cavity_short():
+    cfg = cf.Config(N=40, Re=100.0, t_end=0.15, n_frames=10)
+    out = cf.run(cfg)
+    s, v1, v2 = out["s"], out["v1"], out["v2"]
+    assert np.isfinite(v1).all() and np.isfinite(v2).all()
+    # lid drags the top fluid in +x
+    assert v1[-2] > 0.05
+    # circulation: near-wall bottom flow opposes the lid (or is ~0 early)
+    assert v1[1] < 0.05
+    # probes bounded by lid speed
+    assert np.abs(v1).max() <= 1.05 and np.abs(v2).max() <= 1.05
+
+
+@pytest.mark.slow
+def test_cavity_vs_ghia_re100():
+    cfg = cf.Config(N=50, Re=100.0, t_end=1.5, n_frames=10)
+    out = cf.run(cfg)
+    ref = np.genfromtxt(os.path.join(DATA, "ldc-y2vx.csv"), delimiter=",",
+                        names=True)
+    ours = np.interp(ref["y"], out["s"], out["v1"])
+    # coarse SPH vs Ghia: loose gate on the centerline profile
+    err = np.abs(ours - ref["Re100"])
+    assert err.mean() < 0.12
+
+
+def test_cylinder_inflow_recycling():
+    cfg = cy.Config(n_around=12, t_end=0.8, n_frames=4, dtype="float64")
+    out = cy.run(cfg)
+    n = out["n"]
+    built = out["system"].n_built
+    # inflow creates particles; outflow removal keeps the count bounded
+    assert n[-1] > built * 0.98
+    assert n.max() < built * 1.25
+    assert np.isfinite(out["C_SPH"]).all()
+
+
+def test_cylinder_geometry_types():
+    cfg = cy.Config(n_around=12)
+    sys = cy.make_system(cfg)
+    types = sys.host_fields()["type"]
+    for t in (cy.FLUID, cy.INFLOW, cy.WALL, cy.OBSTACLE):
+        assert (types == t).sum() > 0
+    # obstacle particles inside the cylinder
+    host = sys.host_fields()
+    obs = host["x"][types == cy.OBSTACLE]
+    rr = np.linalg.norm(obs - [cfg.cyl1, cfg.cyl2], axis=1)
+    assert rr.max() <= cfg.cyl_r + 1e-9
