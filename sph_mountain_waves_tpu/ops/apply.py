@@ -85,12 +85,25 @@ def apply_unary(state: ParticleState, action, where=None, **params) -> ParticleS
             m = mask if val.ndim == 1 else mask.reshape(mask.shape + (1,) * (val.ndim - 1))
             out[name] = jnp.where(m, val, old)
         updates = out
+    # Zero every updated field on inactive rows. Inactive slots hold zeros;
+    # unary physics on them (0/0, pow(0,·), …) breeds NaN/Inf, and NaN/Inf
+    # operands drive TPU transcendentals onto a ~15x slower path — keeping
+    # dead rows at exactly 0 is both hygiene and a large perf win.
+    act = state.active
+    updates = {name: jnp.where(
+        act.reshape(act.shape + (1,) * (val.ndim - 1)), val, 0)
+        for name, val in updates.items()}
     return state.replace(**updates)
 
 
+def _bmask(mask, val):
+    """Broadcast a pair mask over any trailing component dims of val."""
+    return mask.reshape(mask.shape + (1,) * (val.ndim - mask.ndim))
+
+
 def _masked_sum(contrib, mask, dtype):
-    m = mask if contrib.ndim == mask.ndim else mask[..., None]
-    return jnp.sum(jnp.where(m, contrib.astype(dtype), 0), axis=1)
+    return jnp.sum(jnp.where(_bmask(mask, contrib), contrib.astype(dtype), 0),
+                   axis=1)
 
 
 def apply_binary(engine: NeighborEngine, state: ParticleState, nbrs: Neighbors,
@@ -143,10 +156,8 @@ class _BucketView:
         B = self._bucket(name)
         ncells = self._e.num_cells
         if self._off is None:  # p side
-            G = B[:ncells]
-            return G[:, :, None] if G.ndim == 2 else G[:, :, None, :]
-        S = self._e.shift_cells(B, self._off)
-        return S[:, None, :] if S.ndim == 2 else S[:, None, :, :]
+            return jnp.expand_dims(B[:ncells], 2)
+        return jnp.expand_dims(self._e.shift_cells(B, self._off), 1)
 
     def __getattr__(self, name):
         try:
@@ -189,8 +200,8 @@ def _binary_sums_cell(engine, state, nbrs, action, params) -> dict:
         qview = _BucketView(engine, nbrs, state.fields, cache, offset=offset)
         contrib = action(pview, qview, r_safe, **params)
         for name, val in contrib.items():
-            m = mask if val.ndim == mask.ndim else mask[..., None]
-            s = jnp.sum(jnp.where(m, val.astype(dtype), 0), axis=2)  # q axis
+            s = jnp.sum(jnp.where(_bmask(mask, val), val.astype(dtype), 0),
+                        axis=2)  # q axis
             acc[name] = s if name not in acc else acc[name] + s
 
     # back to flat particle order: out[i] = acc[key_i, rank_i]
@@ -220,10 +231,8 @@ class _ResidentView:
         e = self._e
         B = e.resident(self._f[name])  # [cap, C+1(, d)]
         if self._off is None:
-            G = B[:, : e.num_cells]
-            return G[:, None] if G.ndim == 2 else G[:, None, :, :]
-        S = e.shift_resident(B, self._off)   # [cap, C(, d)]
-        return S[None] if S.ndim == 2 else S[None, :, :, :]
+            return jnp.expand_dims(B[:, : e.num_cells], 1)
+        return jnp.expand_dims(e.shift_resident(B, self._off), 0)
 
     def __getattr__(self, name):
         try:
@@ -261,8 +270,8 @@ def _binary_sums_resident(engine, state, nbrs, action, params) -> dict:
         qview = _ResidentView(engine, state.fields, offset=offset)
         contrib = action(pview, qview, r_safe, **params)
         for name, val in contrib.items():
-            m = mask if val.ndim == mask.ndim else mask[..., None]
-            s = jnp.sum(jnp.where(m, val.astype(dtype), 0), axis=1)  # q axis
+            s = jnp.sum(jnp.where(_bmask(mask, val), val.astype(dtype), 0),
+                        axis=1)  # q axis
             acc[name] = s if name not in acc else acc[name] + s
 
     # back to flat slot order: pad the trash column, reshape

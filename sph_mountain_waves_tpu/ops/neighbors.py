@@ -99,6 +99,14 @@ class NeighborEngine:
         maxs = np.asarray(box.maxs[:dim], dtype=np.float64)
         phase = np.floor(mins / L).astype(np.int64)
         lims = (np.floor(maxs / L).astype(np.int64) - phase + 1)
+        if layout == "bucket":
+            # round grid dims to TPU-tile-friendly multiples — XLA codegen
+            # for the pad/slice stencil shifts is highly shape-sensitive
+            # (observed 14x cliffs); extra cells stay empty and masked
+            lims = lims.copy()
+            lims[0] = -(-lims[0] // 128) * 128
+            for a in range(1, dim):
+                lims[a] = -(-lims[a] // 8) * 8
         if cap is None:
             cap = NeighborEngine._estimate_cap(positions, L, phase, lims, dim)
         if pair_mode == "auto":

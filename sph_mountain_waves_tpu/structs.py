@@ -138,7 +138,9 @@ class ParticleSystem:
         out = {}
         for name, shape in self.field_specs.items():
             if self._chunks:
-                out[name] = np.concatenate([c[name] for c in self._chunks])
+                out[name] = np.concatenate(
+                    [c.get(name, np.zeros((len(c["x"]),) + shape))
+                     for c in self._chunks])
             else:
                 out[name] = np.zeros((0,) + shape)
         return out
