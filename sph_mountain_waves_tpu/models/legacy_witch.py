@@ -1,0 +1,389 @@
+"""Legacy mountain-wave schemes (src/legacy/).
+
+Four schemes in two families, each with a static and a flow (open-boundary)
+variant. The flow variants introduce the INFLOW/OUTFLOW/WALL/MOUNTAIN typed
+open boundary: a constant U_max wind enters from the left, the inflow column
+recycles (an INFLOW particle crossing the domain edge becomes FLUID and a
+fresh INFLOW particle spawns one bc_width upstream,
+src/legacy/isothermal_flow_witch.jl:175-186), and OUTFLOW particles are
+deleted after packing (:114).
+
+* isothermal: EOS P = ρRT at fixed T (isothermal_static_witch.jl:144-149);
+  the static variant also evolves a per-particle adaptive h via
+  balance_of_smoothing! (:123-125). The reference includes an unused RKPM
+  kernel-correction sketch (correct_kernel, :202-210) — not ported (dead
+  code, never called).
+* adiabatic: entropy thermodynamics — S evolves by viscous production, s =
+  S·ρ/m, T from (ρ, s), P = RρT (adiabatic_static_witch.jl:138-164).
+
+Reference setups call the Colagrossi packing (broken as committed —
+fixed version available via ``packing=True``).
+
+Citations: isothermal_static_witch.jl:20-125,144-160,200-230;
+isothermal_flow_witch.jl:20-80,96-186,200-230; adiabatic_static_witch.jl
+:25-100,116-211; adiabatic_flow_witch.jl (same + inflow).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import BoundaryLayer, Rectangle, Specification
+from ..grids import Grid
+from ..kernels import rDwendland2, wendland2
+from ..ops.apply import apply_binary, apply_unary
+from ..structs import ParticleState, ParticleSystem, generate_particles
+from .witch_common import witch_profile
+
+FLUID = 0.0
+INFLOW = 1.0
+OUTFLOW = 2.0
+WALL = 3.0
+MOUNTAIN = 4.0
+# static variants use WALL=1, MOUNTAIN=2 (adiabatic_static_witch.jl:61-62);
+# we keep the flow numbering everywhere for a single field vocabulary.
+
+
+@dataclasses.dataclass(frozen=True)
+class LegacyConfig:
+    """Shared constants (isothermal_static_witch.jl:24-57 /
+    adiabatic_static_witch.jl:25-57)."""
+    dom_height: float = 26e3
+    dom_length: float = 400e3
+    n_rows: int = 50
+    h_m: float = 100.0
+    a: float = 10e3
+    bc_rows: int = 6
+    rho0: float = 1.393
+    mu: float = 15.98e-6
+    U_max: float = 20.0          # flow variants only
+    N_bv: float = float(np.sqrt(0.0196))
+    g: float = 9.81
+    R_mass: float = 287.05
+    R_gas: float = 8.314
+    T0: float = 250.0
+    z_b: float = 12e3
+    t_end: float = 100.0
+    n_frames: int = 100
+    flow: bool = False
+    adiabatic: bool = False
+    max_spawn: int = 256
+    dtype: str = "float32"
+    # isothermal files use cp = 7·R_gas/2 (isothermal_static_witch.jl:43 —
+    # the universal constant, unlike current/ which uses R_mass);
+    # adiabatic files use cp = 7·R_mass/2 (adiabatic_static_witch.jl:50)
+
+    @property
+    def dr(self) -> float:
+        return self.dom_height / self.n_rows
+
+    @property
+    def h0(self) -> float:
+        return 1.8 * self.dr
+
+    @property
+    def bc_width(self) -> float:
+        return self.bc_rows * self.dr
+
+    @property
+    def c(self) -> float:
+        return float(np.sqrt(65e3 * 1.4 / self.rho0))
+
+    @property
+    def cp(self) -> float:
+        return 7 * (self.R_mass if self.adiabatic else self.R_gas) / 2
+
+    @property
+    def cv(self) -> float:
+        return self.cp - self.R_mass
+
+    @property
+    def gamma(self) -> float:
+        return self.cp / self.cv
+
+    @property
+    def gamma_r(self) -> float:
+        return 10 * self.N_bv
+
+    @property
+    def z_t(self) -> float:
+        return self.dom_height
+
+    @property
+    def dt(self) -> float:
+        return 0.01 * self.h0 / self.c
+
+    @property
+    def jdtype(self):
+        return jnp.float64 if self.dtype == "float64" else jnp.float32
+
+    @property
+    def witch(self):
+        from .witch_common import WitchConfig
+        # reuse witch_common helpers expecting a WitchConfig-shaped object
+        return WitchConfig(dom_height=self.dom_height,
+                           dom_length=self.dom_length, n_rows=self.n_rows,
+                           h_m=self.h_m, a=self.a, rho0=self.rho0,
+                           T_bg=self.T0, dtype=self.dtype)
+
+
+FIELDS = {"x": 2, "m": 0, "v": 2, "Dv": 2, "h": 0, "Dh": 0, "rho": 0,
+          "Drho": 0, "P": 0, "theta": 0, "S": 0, "s": 0, "T": 0,
+          "gGamma": 2, "type": 0}
+
+
+def make_system(cfg: LegacyConfig) -> ParticleSystem:
+    grid = Grid(cfg.dr, "hexagonal" if not cfg.flow else "square")
+    domain = Rectangle(-cfg.dom_length / 2, 0.0, cfg.dom_length / 2,
+                       cfg.dom_height)
+    fence = BoundaryLayer(domain, grid, cfg.bc_width)
+    mountain = Specification(
+        domain, lambda x: x[..., 1] <= witch_profile(cfg.witch, x[..., 0]))
+
+    sys = ParticleSystem(fields=FIELDS, domain=domain + fence, h=cfg.h0,
+                         dim=2, dtype=cfg.jdtype)
+    gen = partial(generate_particles, sys, grid)
+    gen(domain - mountain, lambda xs: {"type": FLUID})
+    gen(mountain, lambda xs: {"type": MOUNTAIN})
+    if cfg.flow:
+        # fence split: ground+sky walls, wind inflow, sink outflow
+        # (isothermal_flow_witch.jl:96-105)
+        ground = Specification(fence, lambda x: x[..., 1] < 0)
+        sky = Specification(fence, lambda x: x[..., 1] > cfg.dom_height)
+        wind = Specification(fence, lambda x: (x[..., 0] <= -cfg.dom_length / 2)
+                             & (x[..., 1] >= 0) & (x[..., 1] <= cfg.dom_height))
+        gen(wind, lambda xs: {"type": INFLOW})
+        gen(ground + sky, lambda xs: {"type": WALL})
+        # OUTFLOW region is dropped right after packing in the reference
+        # (:114) — never generated here
+    else:
+        gen(fence, lambda xs: {"type": WALL})
+
+    for chunk in sys._chunks:
+        y = chunk["x"][:, 1]
+        rho = cfg.rho0 * np.exp(-y * cfg.g / (cfg.R_mass * cfg.T0))
+        chunk["h"] = np.full_like(y, cfg.h0)
+        chunk["rho"] = rho
+        chunk["m"] = rho * cfg.dr**2
+        chunk["P"] = rho * cfg.T0 * cfg.R_mass
+        chunk["theta"] = cfg.T0 * ((cfg.T0 * cfg.R_mass * cfg.rho0)
+                                   / chunk["P"]) ** (cfg.R_gas / cfg.cp)
+        chunk["T"] = np.full_like(y, cfg.T0)
+        if cfg.adiabatic:
+            chunk["S"] = chunk["m"] * cfg.cv * np.log(
+                (cfg.cv * cfg.T0 * (cfg.gamma - 1))
+                / (cfg.gamma * rho ** (cfg.gamma - 1)))
+        if cfg.flow:
+            mob = (chunk["type"] == FLUID) | (chunk["type"] == INFLOW)
+            chunk["v"] = np.where(mob[:, None], [cfg.U_max, 0.0], 0.0)
+    return sys
+
+
+def make_step(cfg: LegacyConfig, engine):
+    dt, h0 = cfg.dt, cfg.h0
+
+    def damping(y):
+        mag = cfg.gamma_r * jnp.sin(
+            jnp.pi / 2 * (1 - (cfg.z_t - cfg.z_b) / cfg.z_b)) ** 2
+        return jnp.where(y >= cfg.z_t - cfg.z_b, mag, 0.0)
+
+    # --- isothermal closures (isothermal_static_witch.jl:118-160) ---
+    def iso_balance_of_mass(p, q, r):
+        if cfg.flow:
+            ker = q.m * rDwendland2(h0, r)  # flow variant: global h (:147)
+            return {"Drho": ker * jnp.sum((p.x - q.x) * (p.v - q.v), axis=-1)}
+        ker = (q.m / q.rho) * rDwendland2(p.h, r)
+        return {"Drho": p.rho * ker
+                * jnp.sum((p.x - q.x) * (p.v - q.v), axis=-1)}
+
+    def iso_balance_of_smoothing(u):
+        return {"Dh": -0.5 * (u.h / u.rho) * u.Drho}
+
+    def iso_find_pressure(u):
+        rho = u.rho + u.Drho * dt
+        upd = {"rho": rho, "Drho": jnp.zeros_like(u.Drho),
+               "P": rho * cfg.R_mass * cfg.T0}
+        if not cfg.flow:
+            upd["h"] = u.h + u.Dh * dt
+            upd["Dh"] = jnp.zeros_like(u.Dh)
+        return upd
+
+    def find_pot_temp(u):
+        return {"theta": u.T * ((u.T * cfg.R_gas * cfg.rho0) / u.P)
+                ** (cfg.R_gas / cfg.cp)}
+
+    # --- adiabatic closures (adiabatic_static_witch.jl:130-164) ---
+    def adia_find_density(p, q, r):
+        both = (p.type == FLUID) & (q.type == FLUID)
+        return {"rho": jnp.where(both, q.m * wendland2(h0, r), 0.0)}
+
+    def adia_find_s(u):
+        fl = u.type == FLUID
+        return {"s": jnp.where(fl, u.S * u.rho / jnp.maximum(u.m, 1e-30), u.s)}
+
+    def adia_find_pressure(u):
+        fl = u.type == FLUID
+        T = (u.rho ** (cfg.gamma - 1.0)) * jnp.exp(
+            u.s / jnp.maximum(u.rho, 1e-30) / cfg.cv) / (cfg.cv * (cfg.gamma - 1.0))
+        T = jnp.where(fl, T, u.T)
+        return {"T": T, "P": jnp.where(fl, cfg.R_mass * u.rho * T, u.P)}
+
+    def adia_entropy_production(p, q, r):
+        both = (p.type == FLUID) & (q.type == FLUID)
+        ker = rDwendland2(h0, r)
+        dux = jnp.sum((p.v - q.v) * (p.x - q.x), axis=-1)
+        dS = (-4.0 * p.m * q.m * ker * cfg.mu / (p.T * p.rho * q.rho)
+              * dux**2 / (r * r + 0.01 * h0 * h0) * dt)
+        return {"S": jnp.where(both, dS, 0.0)}
+
+    def internal_force(p, q, r):
+        hker = p.h if (not cfg.flow and not cfg.adiabatic) else h0
+        ker = q.m * rDwendland2(hker, r)
+        x_pq = p.x - q.x
+        du = -(ker * (p.P / p.rho**2 + q.P / q.rho**2))[..., None] * x_pq
+        denom = (r * r + 0.0025 * (p.h + q.h) ** 2 if not cfg.flow and not cfg.adiabatic
+                 else r * r + 0.01 * h0 * h0)
+        visc = (8.0 * ker * cfg.mu / (p.rho * q.rho)
+                * jnp.sum((p.v - q.v) * x_pq, axis=-1) / denom)
+        return {"Dv": du + visc[..., None] * x_pq}
+
+    def set_inflow_speed(u):
+        v = jnp.stack([jnp.full_like(u.P, cfg.U_max),
+                       jnp.zeros_like(u.P)], axis=-1)
+        return {"v": jnp.where((u.type == INFLOW)[:, None], v, u.v)}
+
+    def move(u):
+        mob = (u.type == FLUID) | ((u.type == INFLOW) if cfg.flow else False)
+        upd = {"x": jnp.where(mob[:, None], u.x + dt * u.v, u.x),
+               "Dv": jnp.zeros_like(u.Dv)}
+        if cfg.adiabatic:  # static adiabatic resets rho in move! (:193)
+            upd["rho"] = jnp.where(u.type == FLUID, 0.0, u.rho)
+        return upd
+
+    def accelerate(u):
+        fl = (u.type == FLUID)[:, None]
+        acc = jnp.stack([u.Dv[:, 0],
+                         u.Dv[:, 1] - cfg.g - damping(u.x[:, 1])], axis=-1)
+        return {"v": jnp.where(fl, u.v + 0.5 * dt * acc, u.v)}
+
+    def add_new_particles(state: ParticleState) -> ParticleState:
+        """Inflow recycling (isothermal_flow_witch.jl:175-186)."""
+        f = state.fields
+        n = state.capacity
+        edge = -cfg.dom_length / 2
+        conv = state.active & (f["type"] == INFLOW) & (f["x"][:, 0] >= edge)
+        new_type = jnp.where(conv, FLUID, f["type"])
+        k = cfg.max_spawn
+        src = jnp.argsort(jnp.where(conv, jnp.arange(n, dtype=jnp.int32),
+                                    jnp.int32(n)))[:k]
+        src_ok = conv[src]
+        tgt = jnp.argsort(jnp.where(state.active, jnp.int32(n),
+                                    jnp.arange(n, dtype=jnp.int32)))[:k]
+        ok = src_ok & ~state.active[tgt]
+        tgt_safe = jnp.where(ok, tgt, n)
+        x_new = f["x"][src] - jnp.asarray([cfg.bc_width, 0.0], f["x"].dtype)
+        y = x_new[:, 1]
+        rho = cfg.rho0 * jnp.exp(-y * cfg.g / (cfg.R_mass * cfg.T0))
+        fields = dict(f)
+        fields["type"] = new_type.at[tgt_safe].set(INFLOW, mode="drop")
+        fields["x"] = f["x"].at[tgt_safe].set(x_new, mode="drop")
+        fields["v"] = f["v"].at[tgt_safe].set(
+            jnp.stack([jnp.full(k, cfg.U_max, f["v"].dtype),
+                       jnp.zeros(k, f["v"].dtype)], axis=-1), mode="drop")
+        fields["rho"] = f["rho"].at[tgt_safe].set(rho, mode="drop")
+        fields["m"] = f["m"].at[tgt_safe].set(rho * cfg.dr**2, mode="drop")
+        fields["P"] = f["P"].at[tgt_safe].set(
+            rho * cfg.T0 * cfg.R_mass, mode="drop")
+        fields["h"] = f["h"].at[tgt_safe].set(
+            jnp.full(k, cfg.h0, f["h"].dtype), mode="drop")
+        for name in ("Dv", "Dh", "Drho", "S", "s", "gGamma"):
+            fields[name] = f[name].at[tgt_safe].set(
+                jnp.zeros((k,) + f[name].shape[1:], f[name].dtype), mode="drop")
+        fields["T"] = f["T"].at[tgt_safe].set(
+            jnp.full(k, cfg.T0, f["T"].dtype), mode="drop")
+        if cfg.adiabatic:
+            S = (rho * cfg.dr**2) * cfg.cv * jnp.log(
+                (cfg.cv * cfg.T0 * (cfg.gamma - 1))
+                / (cfg.gamma * rho ** (cfg.gamma - 1)))
+            fields["S"] = fields["S"].at[tgt_safe].set(S, mode="drop")
+        active = state.active.at[tgt_safe].set(ok, mode="drop")
+        return ParticleState(fields=fields, active=active)
+
+    def step(state: ParticleState) -> ParticleState:
+        state = apply_unary(state, accelerate)
+        state = apply_unary(state, move)
+        if cfg.flow:
+            state = add_new_particles(state)
+            state = apply_unary(state, set_inflow_speed)
+        state, nbrs = engine.rebuild(state)
+        if cfg.adiabatic:
+            # adiabatic verlet (adiabatic_static_witch.jl:200-211)
+            state = apply_binary(engine, state, nbrs, adia_find_density,
+                                 self_interaction=True)
+            state = apply_unary(state, adia_find_s)
+            state = apply_unary(state, adia_find_pressure)
+            state = apply_binary(engine, state, nbrs, adia_entropy_production)
+        else:
+            # isothermal verlet (isothermal_static_witch.jl:213-224)
+            state = apply_binary(engine, state, nbrs, iso_balance_of_mass)
+            if not cfg.flow:
+                state = apply_unary(state, iso_balance_of_smoothing)
+            state = apply_unary(state, iso_find_pressure)
+            if cfg.flow:
+                state = apply_unary(state, find_pot_temp)
+        state = apply_binary(engine, state, nbrs, internal_force)
+        state = apply_unary(state, accelerate)
+        return state
+
+    return step
+
+
+def run(cfg: LegacyConfig, out_path: str | None = None, verbose: bool = False,
+        packing: bool = False, capacity_factor: float = 1.3):
+    """Shared main loop for all four legacy schemes."""
+    from .wcsph_perturbed_witch import _run_witch_scheme
+
+    def setup(cfg_, engine, state):
+        if not packing:
+            return state
+        from ..utils.packing import colagrossi_packing
+        return colagrossi_packing(cfg_.witch, engine, state, 1e-10, 1e-10, 100)
+
+    def _make_system(cfg_):
+        sys = make_system(cfg_)
+        if cfg_.flow:
+            sys.freeze_opts["capacity"] = int(sys.n_built * capacity_factor)
+        return sys
+
+    return _run_witch_scheme(cfg, _make_system, make_step,
+                             ("v", "P", "theta", "rho", "type"),
+                             out_path, verbose, setup=setup)
+
+
+# named configurations mapping 1:1 to the reference files
+def isothermal_static_config(**kw) -> LegacyConfig:
+    kw.setdefault("t_end", 200.0)
+    return LegacyConfig(flow=False, adiabatic=False, **kw)
+
+
+def isothermal_flow_config(**kw) -> LegacyConfig:
+    kw.setdefault("n_rows", 100)
+    kw.setdefault("dom_length", 100e3)
+    kw.setdefault("h_m", 13e3)
+    kw.setdefault("t_end", 200.0)
+    return LegacyConfig(flow=True, adiabatic=False, **kw)
+
+
+def adiabatic_static_config(**kw) -> LegacyConfig:
+    kw.setdefault("t_end", 100.0)
+    return LegacyConfig(flow=False, adiabatic=True, **kw)
+
+
+def adiabatic_flow_config(**kw) -> LegacyConfig:
+    kw.setdefault("n_rows", 75)
+    kw.setdefault("t_end", 200.0)
+    return LegacyConfig(flow=True, adiabatic=True, **kw)

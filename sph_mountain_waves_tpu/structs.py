@@ -164,9 +164,13 @@ class ParticleSystem:
 
         host = self.host_fields()
         n = len(host["x"])
+        opts = dict(self.freeze_opts)
+        opts.update(engine_opts)
+        if capacity is None:
+            capacity = opts.pop("capacity", None)
+        else:
+            opts.pop("capacity", None)
         if engine is None:
-            opts = dict(self.freeze_opts)
-            opts.update(engine_opts)
             engine = NeighborEngine.create(
                 box=self.domain, h=self.h, dim=self.dim,
                 positions=host["x"] if n else None, cap=cap, dtype=self.dtype,

@@ -1,0 +1,87 @@
+"""Gates for the legacy suite: Kepler vortex, the four legacy witch schemes
+(incl. inflow/outflow open boundaries), adiabatic_mass, and ICR."""
+import numpy as np
+import pytest
+
+from sph_mountain_waves_tpu.models import adiabatic_mass as am
+from sph_mountain_waves_tpu.models import kepler_vortex as kv
+from sph_mountain_waves_tpu.models import legacy_witch as lw
+
+
+def test_kepler_energy_conservation():
+    out = kv.run(kv.Config(N_rings=15), n_orbits=0.05)
+    E = out["E"]
+    assert np.max(np.abs(E / E[0] - 1.0)) < 1e-6
+    assert int(out["state"].n) == out["system"].n_built
+
+
+@pytest.mark.parametrize("factory,kw", [
+    (lw.isothermal_static_config, dict(n_rows=16)),
+    (lw.adiabatic_static_config, dict(n_rows=16)),
+], ids=["isothermal_static", "adiabatic_static"])
+def test_legacy_static_schemes(factory, kw):
+    cfg = factory(**kw, t_end=1.0, n_frames=2)
+    out = lw.run(cfg)
+    assert int(out["state"].n) == out["system"].n_built
+    assert np.isfinite(out["u_avg"]).all()
+    assert out["u_max"][-1] < 0.2 * cfg.c  # subsonic spurious motion
+
+
+@pytest.mark.parametrize("factory,kw", [
+    (lw.isothermal_flow_config, dict(n_rows=20)),
+    (lw.adiabatic_flow_config, dict(n_rows=16)),
+], ids=["isothermal_flow", "adiabatic_flow"])
+def test_legacy_flow_schemes(factory, kw):
+    cfg = factory(**kw, t_end=1.0, n_frames=2)
+    out = lw.run(cfg)
+    sys = out["system"]
+    host = sys.host_fields()
+    # inflow column exists and the run keeps (or grows) the particle count
+    assert (host["type"] == lw.INFLOW).sum() > 0
+    assert int(out["state"].n) >= sys.n_built * 0.95
+    assert np.isfinite(out["u_avg"]).all()
+
+
+def test_adiabatic_mass_expansion():
+    cfg = am.Config(dr=0.04, t_end=0.4, n_frames=8)
+    out = am.run(cfg)
+    # gas escapes the left chamber monotonically (modulo bounce-back)
+    assert out["left"][-1] < out["left"][0]
+    # energy conserved (mu = 0: no entropy production, S constant)
+    E = out["E"]
+    assert np.max(np.abs(E / E[0] - 1.0)) < 1e-3
+    S = out["S"]
+    np.testing.assert_allclose(S, S[0], rtol=1e-12)
+    A, lam, C = am.fit_left_decay(out["t"], out["left"].astype(float))
+    assert lam >= 0.0
+
+
+def test_adiabatic_mass_gram_determinant():
+    cfg = am.Config(dr=0.08)
+    sys = am.make_system(cfg)
+    state = sys.freeze()
+    det_scaled = am.gram_determinant(cfg, sys.engine, state)
+    assert np.isfinite(det_scaled)
+
+
+def test_icr_renormalization_reduces_density_error():
+    import jax.numpy as jnp
+    from sph_mountain_waves_tpu import Rectangle, ParticleSystem, Grid, generate_particles
+    from sph_mountain_waves_tpu.kernels import wendland2
+    from sph_mountain_waves_tpu.utils.icr import renormalize
+
+    dr = 0.1
+    h = 2.4 * dr
+    dom = Rectangle(0.0, 0.0, 1.0, 1.0)
+    sys = ParticleSystem(fields={"x": 2}, domain=dom, h=h, dim=2,
+                         dtype=jnp.float64)
+    generate_particles(sys, Grid(dr, "square"), dom, lambda xs: {})
+    state = sys.freeze()
+
+    # jitter + renormalize: the Newton iteration drives its own residual
+    # |Σw − 1/dr²| down by orders of magnitude
+    st3, info = renormalize(sys.engine, state, dr, max_steps=6, jitter=0.3,
+                            return_info=True)
+    errs = info["errs"]
+    assert errs[-1] < 1e-2 * errs[0]
+    assert np.isfinite(np.asarray(st3.fields["x"])).all()
