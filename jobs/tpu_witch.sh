@@ -1,0 +1,19 @@
+#!/bin/bash
+# TPU-VM production job: stratified mountain-wave flagship run.
+# The TPU-native counterpart of the reference's SLURM script
+# (reference jobs/example.sh: 1 node, 16 Julia threads, 3h wall):
+# one v5e chip, jit-compiled bucket-layout engine, PVD frames to results/.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "=== JOB START $(date) on $(hostname) ==="
+python - <<'PY'
+from sph_mountain_waves_tpu.models import wcsph_perturbed_witch as w
+from sph_mountain_waves_tpu.models.witch_common import WitchConfig
+
+cfg = WitchConfig(n_rows=75, dtype="float32", self_density=True,
+                  layout="bucket", skin=0.2, t_end=20.0)
+out = w.run(cfg, out_path="results/wcsph_perturbed_witch", verbose=True)
+print("final u_avg:", out["u_avg"][-1], "u_max:", out["u_max"][-1])
+PY
+echo "=== JOB END $(date) ==="

@@ -222,17 +222,25 @@ class _ResidentView:
 
     p side: [cap, 1, C(, d)]; q side at an offset: [1, cap, C(, d)]."""
 
-    def __init__(self, engine, fields, offset=None):
+    def __init__(self, engine, fields, offset=None, cache=None):
         object.__setattr__(self, "_e", engine)
         object.__setattr__(self, "_f", fields)
         object.__setattr__(self, "_off", offset)
+        object.__setattr__(self, "_c", cache if cache is not None else {})
+
+    def _padded(self, name):
+        # one materialized pad per field per sweep; all offsets slice it
+        if name not in self._c:
+            self._c[name] = self._e.pad_resident(
+                self._e.resident(self._f[name]))
+        return self._c[name]
 
     def __getitem__(self, name):
         e = self._e
-        B = e.resident(self._f[name])  # [cap, C+1(, d)]
         if self._off is None:
+            B = e.resident(self._f[name])  # [cap, C+1(, d)]
             return jnp.expand_dims(B[:, : e.num_cells], 1)
-        return jnp.expand_dims(e.shift_resident(B, self._off), 0)
+        return jnp.expand_dims(e.slice_resident(self._padded(name), self._off), 0)
 
     def __getattr__(self, name):
         try:
@@ -254,20 +262,25 @@ def _binary_sums_resident(engine, state, nbrs, action, params) -> dict:
     xB = engine.resident(state.fields["x"])           # [cap, C+1, d]
     xp = xB[:, : C][:, None, :, :]                    # [cap, 1, C, d]
     pview = _ResidentView(engine, state.fields)
+    cache: dict = {}
+    actP = engine.pad_resident(actB)
+    xP = engine.pad_resident(xB)
+    qviews = {off: _ResidentView(engine, state.fields, offset=off, cache=cache)
+              for off in map(tuple, engine.stencil)}
 
     eye = (jnp.arange(cap, dtype=jnp.int32)[:, None]
            == jnp.arange(cap, dtype=jnp.int32)[None, :])[:, :, None]
 
     acc: dict = {}
     for offset in engine.stencil:
-        occ_q = engine.shift_resident(actB, offset)[None]   # [1, cap, C]
-        xq = engine.shift_resident(xB, offset)[None]        # [1, cap, C, d]
+        occ_q = engine.slice_resident(actP, offset)[None]   # [1, cap, C]
+        xq = engine.slice_resident(xP, offset)[None]        # [1, cap, C, d]
         r = dist(xp, xq)                                    # [cap, cap, C]
         mask = occ_p & occ_q & (r <= h)
         if all(o == 0 for o in offset):
             mask = mask & ~eye
         r_safe = jnp.where(mask, r, 2.0 * h)
-        qview = _ResidentView(engine, state.fields, offset=offset)
+        qview = qviews[tuple(offset)]
         contrib = action(pview, qview, r_safe, **params)
         for name, val in contrib.items():
             s = jnp.sum(jnp.where(_bmask(mask, val), val.astype(dtype), 0),

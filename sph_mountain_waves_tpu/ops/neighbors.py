@@ -248,6 +248,12 @@ class NeighborEngine:
                       .at[slot].set(active[order], mode="drop"))
         return ParticleState(fields=fields, active=new_active)
 
+    def _implicit_consts(self):
+        """Static neighbor-structure components of the bucket layout —
+        host-cached numpy, embedded as XLA constants at trace time."""
+        import functools
+        return _implicit_consts_cached(self.lims, self.cap, self.dim)
+
     def _rebuild_bucket(self, state: ParticleState) -> tuple[ParticleState, Neighbors]:
         C, cap = self.num_cells, self.cap
         x = state.fields["x"]
@@ -258,22 +264,12 @@ class NeighborEngine:
         need = jnp.max(d2) > budget
         state = jax.lax.cond(need, self._full_rescatter, lambda s: s, state)
 
-        # implicit neighbor structure: the layout IS the cell assignment
-        col = jnp.arange(C + 1, dtype=jnp.int32)
-        key = jnp.tile(col, cap)
-        rank = jnp.repeat(jnp.arange(cap, dtype=jnp.int32), C + 1)
-        nx = self.lims[0]
-        if self.dim == 2:
-            cellc = jnp.stack([key % nx, key // nx], axis=-1)
-        else:
-            ny = self.lims[1]
-            cellc = jnp.stack([key % nx, (key // nx) % ny, key // (nx * ny)],
-                              axis=-1)
+        # implicit neighbor structure: the layout IS the cell assignment;
+        # everything except counts/starts is static
+        key, rank, cellc, bucket = self._implicit_consts()
         counts = jnp.sum(state.active.reshape(cap, C + 1), axis=0).astype(jnp.int32)
         starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                   jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-        bucket = (jnp.arange(cap, dtype=jnp.int32)[:, None] * (C + 1)
-                  + col[None, :]).T  # [C+1, cap] slot ids
         nbrs = Neighbors(cell=cellc, key=key, rank=rank, counts=counts,
                          starts=starts, bucket=bucket,
                          overflow=jnp.zeros((), jnp.int32))
@@ -283,28 +279,41 @@ class NeighborEngine:
         """View a bucket-layout flat field [slots(, d)] as [cap, C+1(, d)]."""
         return arr.reshape((self.cap, self.num_cells + 1) + arr.shape[1:])
 
-    def shift_resident(self, B: jnp.ndarray, offset: tuple) -> jnp.ndarray:
-        """Stencil shift for resident layout: B [cap, C+1, ...] →
-        [cap, C, ...] where out[:, c] = B[:, c+offset] (zeros at grid edges).
-        Pure pad+slice along the trailing cell axes."""
+    def pad_resident(self, B: jnp.ndarray) -> jnp.ndarray:
+        """Zero-pad the cell grid of a resident field once; all 9/27 stencil
+        shifts are then slices of this (one materialized pad per field per
+        sweep instead of one shifted copy per offset)."""
         cap = B.shape[0]
         rest = B.shape[2:]
         if self.dim == 2:
-            di, dj = offset
             nx, ny = self.lims
             G = B[:, : nx * ny].reshape((cap, ny, nx) + rest)
             pad = ((0, 0), (1, 1), (1, 1)) + ((0, 0),) * len(rest)
-            P = jnp.pad(G, pad)
+        else:
+            nx, ny, nz = self.lims
+            G = B[:, : nx * ny * nz].reshape((cap, nz, ny, nx) + rest)
+            pad = ((0, 0), (1, 1), (1, 1), (1, 1)) + ((0, 0),) * len(rest)
+        return jnp.pad(G, pad)
+
+    def slice_resident(self, P: jnp.ndarray, offset: tuple) -> jnp.ndarray:
+        """Stencil view of a pad_resident array: out[:, c] = B[:, c+offset]."""
+        cap = P.shape[0]
+        if self.dim == 2:
+            di, dj = offset
+            nx, ny = self.lims
             out = P[:, 1 + dj: 1 + dj + ny, 1 + di: 1 + di + nx]
-            return out.reshape((cap, nx * ny) + rest)
+            return out.reshape((cap, nx * ny) + P.shape[3:])
         di, dj, dk = offset
         nx, ny, nz = self.lims
-        G = B[:, : nx * ny * nz].reshape((cap, nz, ny, nx) + rest)
-        pad = ((0, 0), (1, 1), (1, 1), (1, 1)) + ((0, 0),) * len(rest)
-        P = jnp.pad(G, pad)
         out = P[:, 1 + dk: 1 + dk + nz, 1 + dj: 1 + dj + ny,
                 1 + di: 1 + di + nx]
-        return out.reshape((cap, nx * ny * nz) + rest)
+        return out.reshape((cap, nx * ny * nz) + P.shape[4:])
+
+    def shift_resident(self, B: jnp.ndarray, offset: tuple) -> jnp.ndarray:
+        """Stencil shift for resident layout: B [cap, C+1, ...] ->
+        [cap, C, ...] where out[:, c] = B[:, c+offset] (zeros at grid edges).
+        Pure pad+slice along the trailing cell axes."""
+        return self.slice_resident(self.pad_resident(B), offset)
 
     # ------------------------------------------------- cell-dense helpers
     def bucketize(self, nbrs: Neighbors, arr: jnp.ndarray) -> jnp.ndarray:
@@ -355,3 +364,26 @@ class NeighborEngine:
         cand = nbrs.bucket[nkey]  # [N, cap]
         valid = (jnp.arange(self.cap, dtype=jnp.int32)[None, :] < cnt[:, None])
         return cand, valid
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _implicit_consts_cached(lims: tuple, cap: int, dim: int):
+    C = 1
+    for l in lims:
+        C *= l
+    col = np.tile(np.arange(C + 1, dtype=np.int32), cap)
+    rank = np.repeat(np.arange(cap, dtype=np.int32), C + 1)
+    nx = lims[0]
+    if dim == 2:
+        cellc = np.stack([col % nx, col // nx], axis=-1)
+    else:
+        ny = lims[1]
+        cellc = np.stack([col % nx, (col // nx) % ny, col // (nx * ny)],
+                         axis=-1)
+    bucket = (np.arange(cap, dtype=np.int32)[:, None] * (C + 1)
+              + np.arange(C + 1, dtype=np.int32)[None, :]).T
+    return (jnp.asarray(col), jnp.asarray(rank), jnp.asarray(cellc),
+            jnp.asarray(bucket))

@@ -24,16 +24,23 @@ __all__ = ["make_sharded_runner", "build_domain_sharding"]
 def build_domain_sharding(sys, n_dev: int, halo: int | None = None,
                           migr: int | None = None,
                           shard_headroom: float = 1.5) -> DomainSharding:
-    """Size the per-device capacities from the built system."""
+    """Size the per-device capacities from the built system: ``n_shard``
+    comes from the actual max slab occupancy (load imbalance included),
+    ``halo``/``migr`` from the boundary-column capacity."""
     eng = sys.engine
-    n = sys.n_built
-    n_shard = int(-(-int(n / n_dev * shard_headroom) // 8) * 8) + 8
+    slab_w = -(-eng.lims[0] // n_dev)
+    x = sys.host_fields()["x"]
+    cx = np.clip(np.floor(x[:, 0] / eng.cell_size).astype(np.int64)
+                 - eng.phase[0], 0, eng.lims[0] - 1)
+    slab = np.clip(cx // slab_w, 0, n_dev - 1)
+    max_occ = int(np.bincount(slab, minlength=n_dev).max()) if len(x) else 1
+    n_shard = int(-(-int(max_occ * shard_headroom) // 8) * 8) + 8
     ny = eng.lims[1] if eng.dim >= 2 else 1
     nz = eng.lims[2] if eng.dim == 3 else 1
     if halo is None:
         halo = int(2 * ny * nz * eng.cap)
     if migr is None:
-        migr = int(-(-ny * nz * eng.cap // 2))
+        migr = int(2 * ny * nz * eng.cap)
     return DomainSharding(engine=eng, n_dev=n_dev, n_shard=n_shard,
                           halo=halo, migr=migr)
 
