@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skin", type=float, default=0.2)
+    ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
+                    default=True)
     ap.add_argument("--self-density", action="store_true", default=True)
     args = ap.parse_args()
 
@@ -40,7 +42,7 @@ def main() -> None:
     target = args.particles
     n_rows = max(8, int(round(math.sqrt(target / (400e3 / 26e3) / 1.0746))))
     cfg = WitchConfig(n_rows=n_rows, dtype="float32", self_density=True,
-                      layout="bucket", skin=args.skin)
+                      layout="bucket", skin=args.skin, use_pallas=args.pallas)
     sys_ = w.make_system(cfg)
     state = sys_.freeze()
     n = sys_.n_built

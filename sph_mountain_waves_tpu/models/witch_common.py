@@ -73,6 +73,10 @@ class WitchConfig:
     # rescatter until a particle drifts by skin·h/2
     layout: str = "flat"
     skin: float = 0.0
+    # use the fused Pallas pair kernels for the density/momentum sweeps
+    # (requires layout="bucket"; ~2x over the XLA cell-dense path by
+    # skipping empty bucket slots with dynamic trip counts)
+    use_pallas: bool = False
 
     @property
     def dr(self) -> float:

@@ -266,7 +266,11 @@ class NeighborEngine:
 
         # implicit neighbor structure: the layout IS the cell assignment;
         # everything except counts/starts is static
-        key, rank, cellc, bucket = self._implicit_consts()
+        key_np, rank_np, cell_np, bucket_np = self._implicit_consts()
+        key = jnp.asarray(key_np)
+        rank = jnp.asarray(rank_np)
+        cellc = jnp.asarray(cell_np)
+        bucket = jnp.asarray(bucket_np)
         counts = jnp.sum(state.active.reshape(cap, C + 1), axis=0).astype(jnp.int32)
         starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                   jnp.cumsum(counts)[:-1].astype(jnp.int32)])
@@ -385,5 +389,5 @@ def _implicit_consts_cached(lims: tuple, cap: int, dim: int):
                          axis=-1)
     bucket = (np.arange(cap, dtype=np.int32)[:, None] * (C + 1)
               + np.arange(C + 1, dtype=np.int32)[None, :]).T
-    return (jnp.asarray(col), jnp.asarray(rank), jnp.asarray(cellc),
-            jnp.asarray(bucket))
+    # cache NUMPY (converting to jnp inside a trace would cache tracers)
+    return col, rank, cellc, bucket
