@@ -206,40 +206,41 @@ def density_pass(engine, state, cfg, interpret=False):
 def momentum_pass(engine, state, cfg, interpret=False):
     """Perturbation-pressure + Monaghan-viscosity momentum sweep
     (balance_of_momentum!, wcsph_perturbed_witch.jl:261-286). Returns the
-    (Dv0, Dv1) pair-sum contributions in flat slot order."""
+    (Dv0, Dv1) pair-sum contributions in flat slot order.
+
+    Per-particle quantities (sound speed c = √(γP/ρ), pressure term P′/ρ²,
+    floored ρ) are hoisted out of the kernel — the per-pair body carries a
+    single sqrt."""
     from ..kernels import rDwendland2
     f = state.fields
     x = f["x"]
-    fields = [engine.resident(a) for a in (
-        x[:, 0], x[:, 1], f["h"], f["m"], f["v"][:, 0], f["v"][:, 1],
-        f["rho"], f["P_p"], f["P"])]
-
     gamma, alpha, beta, eps, floor = (cfg.gamma, cfg.alpha, cfg.beta,
                                       cfg.eps, cfg.rho_floor)
+    rho_f = jnp.maximum(f["rho"], floor)
+    Aterm = f["P_p"] / rho_f**2
+    cs = jnp.sqrt(jnp.maximum(gamma * f["P"] / rho_f, 0.0))
+    fields = [engine.resident(a) for a in (
+        x[:, 0], x[:, 1], f["h"], f["m"], f["v"][:, 0], f["v"][:, 1],
+        rho_f, Aterm, cs)]
 
     def body(p_all, q_all, r2, mask):
-        (_, x0p, x1p, hp, _, v0p, v1p, rhop, Ppp, Pp) = p_all
-        (_, x0q, x1q, hq, mq, v0q, v1q, rhoq, Ppq, Pq) = q_all
+        (_, x0p, x1p, hp, _, v0p, v1p, rhop, Ap, cp) = p_all
+        (_, x0q, x1q, hq, mq, v0q, v1q, rhoq, Aq, cq) = q_all
         x0q = x0q[None, :]; x1q = x1q[None, :]; hq = hq[None, :]
         mq = mq[None, :]; v0q = v0q[None, :]; v1q = v1q[None, :]
-        rhoq = rhoq[None, :]; Ppq = Ppq[None, :]; Pq = Pq[None, :]
+        rhoq = rhoq[None, :]; Aq = Aq[None, :]; cq = cq[None, :]
 
         r = jnp.sqrt(jnp.maximum(r2, 0.0))
         r_safe = jnp.where(mask, r, 2.0 * engine.h)
         h_ij = 0.5 * (hp + hq)
         ker = rDwendland2(h_ij, r_safe)
-        prho = jnp.maximum(rhop, floor)
-        qrho = jnp.maximum(rhoq, floor)
         dx0 = x0p - x0q
         dx1 = x1p - x1q
         dot = dx0 * (v0p - v0q) + dx1 * (v1p - v1q)
 
-        coef = -mq * (Ppp / prho**2 + Ppq / qrho**2) * ker
-
-        c_i = jnp.sqrt(jnp.maximum(gamma * Pp / prho, 0.0))
-        c_j = jnp.sqrt(jnp.maximum(gamma * Pq / qrho, 0.0))
-        c_ij = 0.5 * (c_i + c_j)
-        rho_ij = 0.5 * (prho + qrho)
+        coef = -mq * (Ap + Aq) * ker
+        c_ij = 0.5 * (cp + cq)
+        rho_ij = 0.5 * (rhop + rhoq)
         mu_ij = (h_ij * dot) / (r2 + eps * h_ij * h_ij)
         pi_ij = (-alpha * c_ij * mu_ij + beta * mu_ij**2) / rho_ij
         visc = jnp.where(dot < 0.0, -mq * pi_ij * ker, 0.0)
