@@ -179,28 +179,57 @@ def _run_pair_kernel(engine, state, fields, pair_body, n_out, self_pair,
     return flat
 
 
-def density_pass(engine, state, cfg, interpret=False):
-    """Σ q.m · w(p.h, r) over the stencil (scheme compute_density!,
-    wcsph_perturbed_witch.jl:226-228), self term per cfg.self_density."""
+def weighted_w_pass(engine, state, cfg, weight, ker_h: str = "p",
+                    interpret=False):
+    """Σ weight_q · w(h, r) over the stencil — the shared shape of the
+    kernel-summation passes:
+
+    * density (compute_density!, wcsph_perturbed_witch.jl:226-228):
+      weight = m, ker_h="p" (the gather kernel uses p's smoothing length)
+    * Hopkins smoothed pressure root (compute_pressure!,
+      hopkins_perturbed_witch.jl:205-208): weight = m·A^(1/γ), ker_h="sym"
+      (symmetric h_ij = ½(hp+hq))
+
+    ``weight`` is a per-particle [N] array; self term per cfg.self_density.
+    """
     from ..kernels import wendland2
     f = state.fields
     x = f["x"]
     x0 = engine.resident(x[:, 0])
     x1 = engine.resident(x[:, 1])
     hB = engine.resident(f["h"])
-    mB = engine.resident(f["m"])
+    wB = engine.resident(weight)
 
     def body(p_all, q_all, r2, mask):
         hp = p_all[3]
-        mq = q_all[4]
+        wq = q_all[4]
+        if ker_h == "p":
+            hk = hp
+        else:
+            hk = 0.5 * (hp + q_all[3][None, :])
         r = jnp.sqrt(jnp.maximum(r2, 0.0))
-        w = wendland2(hp, jnp.where(mask, r, 2.0 * engine.h))
-        return [mq[None, :] * w]
+        w = wendland2(hk, jnp.where(mask, r, 2.0 * engine.h))
+        return [wq[None, :] * w]
 
-    (rho,) = _run_pair_kernel(engine, state, [x0, x1, hB, mB], body, 1,
-                              self_pair=cfg.self_density, name="density",
+    (out,) = _run_pair_kernel(engine, state, [x0, x1, hB, wB], body, 1,
+                              self_pair=cfg.self_density, name="wsum",
                               interpret=interpret)
-    return rho
+    return out
+
+
+def density_pass(engine, state, cfg, interpret=False):
+    """Σ q.m · w(p.h, r) (scheme compute_density!,
+    wcsph_perturbed_witch.jl:226-228), self term per cfg.self_density."""
+    return weighted_w_pass(engine, state, cfg, state.fields["m"],
+                           ker_h="p", interpret=interpret)
+
+
+def pressure_pass(engine, state, cfg, interpret=False):
+    """Hopkins smoothed-pressure root Σ q.m·q.A^{1/γ}·w(h_ij, r)
+    (compute_pressure!, hopkins_perturbed_witch.jl:205-208)."""
+    weight = state.fields["m"] * state.fields["A"] ** (1.0 / cfg.gamma)
+    return weighted_w_pass(engine, state, cfg, weight, ker_h="sym",
+                           interpret=interpret)
 
 
 def momentum_pass(engine, state, cfg, interpret=False):

@@ -64,3 +64,19 @@ def test_row_kmax_band():
     for j in range(ny):
         band = per_row[max(0, j - 1): j + 2].max()
         assert kmax[j] >= band  # trip count covers the stencil band
+
+
+def test_hopkins_step_pallas_matches_xla(interpret_kernels):
+    from sph_mountain_waves_tpu.models import hopkins_perturbed_witch as hp
+    outs = {}
+    for up in (False, True):
+        cfg = WitchConfig(n_rows=10, dtype="float32", self_density=True,
+                          layout="bucket", skin=0.2, use_pallas=up)
+        sys_ = hp.make_system(cfg)
+        state = sys_.freeze()
+        step = jax.jit(hp.make_step(cfg, sys_.engine))
+        for _ in range(8):
+            state = step(state)
+        outs[up] = [float(v) for v in velocity_diagnostics(state)]
+    assert outs[True][0] == pytest.approx(outs[False][0], rel=1e-5)
+    assert outs[True][1] == pytest.approx(outs[False][1], rel=1e-5)
