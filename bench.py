@@ -41,22 +41,34 @@ def main() -> None:
     # pick n_rows so built particle count ≈ target (N ≈ n_rows^2 * L/H / hex_a)
     target = args.particles
     n_rows = max(8, int(round(math.sqrt(target / (400e3 / 26e3) / 1.0746))))
-    cfg = WitchConfig(n_rows=n_rows, dtype="float32", self_density=True,
-                      layout="bucket", skin=args.skin, use_pallas=args.pallas)
-    sys_ = w.make_system(cfg)
-    state = sys_.freeze()
-    n = sys_.n_built
-    step = w.make_step(cfg, sys_.engine)
-    run_frame = frame_runner(step, args.steps)
+
+    def build(use_pallas):
+        cfg = WitchConfig(n_rows=n_rows, dtype="float32", self_density=True,
+                          layout="bucket", skin=args.skin,
+                          use_pallas=use_pallas)
+        sys_ = w.make_system(cfg)
+        state = sys_.freeze()
+        step = w.make_step(cfg, sys_.engine)
+        return sys_, state, frame_runner(step, args.steps)
 
     def sync(state):
         # force a full device->host round trip: block_until_ready alone is
         # not a reliable barrier on the experimental remote (axon) platform
         return float(jax.numpy.sum(state.fields["x"][:, 1]))
 
-    # warmup: compile + one frame
-    state = run_frame(state)
-    sync(state)
+    # warmup: compile + one frame; fall back to the pure-XLA path if the
+    # Pallas kernels fail to compile on this platform
+    try:
+        sys_, state, run_frame = build(args.pallas)
+        state = run_frame(state)
+        sync(state)
+    except Exception:
+        if not args.pallas:
+            raise
+        sys_, state, run_frame = build(False)
+        state = run_frame(state)
+        sync(state)
+    n = sys_.n_built
 
     best = 0.0
     times = []

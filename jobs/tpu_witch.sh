@@ -12,7 +12,7 @@ from sph_mountain_waves_tpu.models import wcsph_perturbed_witch as w
 from sph_mountain_waves_tpu.models.witch_common import WitchConfig
 
 cfg = WitchConfig(n_rows=75, dtype="float32", self_density=True,
-                  layout="bucket", skin=0.2, t_end=20.0)
+                  layout="bucket", skin=0.2, use_pallas=True, t_end=20.0)
 out = w.run(cfg, out_path="results/wcsph_perturbed_witch", verbose=True)
 print("final u_avg:", out["u_avg"][-1], "u_max:", out["u_max"][-1])
 PY

@@ -83,3 +83,38 @@ def test_entropy_histogram_and_mb_fit():
     v2 = rng.normal(0, 2 * sigma, size=(20000, 2))
     S2 = entropy_2D_MB(velocity_histogram(v2, N=100))
     assert S2 > S
+
+
+def test_checkpoint_bitwise_resume(tmp_path):
+    import jax
+    from sph_mountain_waves_tpu.models import wcsph_perturbed_witch as w
+    from sph_mountain_waves_tpu.models.witch_common import WitchConfig
+    from sph_mountain_waves_tpu.utils.checkpoint import (
+        engine_from_meta, load_checkpoint, save_checkpoint,
+    )
+
+    cfg = WitchConfig(n_rows=12, dtype="float32", self_density=True,
+                      layout="bucket", skin=0.2)
+    sys = w.make_system(cfg)
+    state = sys.freeze()
+    step = jax.jit(w.make_step(cfg, sys.engine))
+    for _ in range(5):
+        state = step(state)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, sys.engine, extra={"step": 5})
+
+    # continue 3 more steps from live state
+    ref = state
+    for _ in range(3):
+        ref = step(ref)
+
+    # resume from checkpoint: bit-identical continuation
+    state2, meta = load_checkpoint(path)
+    assert meta["extra"]["step"] == 5
+    eng2 = engine_from_meta(meta)
+    step2 = jax.jit(w.make_step(cfg, eng2))
+    for _ in range(3):
+        state2 = step2(state2)
+    for name in ref.fields:
+        np.testing.assert_array_equal(np.asarray(ref.fields[name]),
+                                      np.asarray(state2.fields[name]), err_msg=name)
