@@ -35,8 +35,9 @@ __all__ = ["density_pass", "momentum_pass", "row_kmax"]
 
 
 def row_kmax(engine, state):
-    """Per-grid-row max bucket occupancy, maxed over the ±1 stencil band —
-    the dynamic q-slot trip count for each kernel program. [ny] int32."""
+    """(band_max, row_max): per-grid-row max bucket occupancy maxed over the
+    ±1 stencil band (the q-slot trip bound) and for the row itself (the
+    p-slot chunk bound). Each [ny] int32."""
     nx, ny = engine.lims
     C = engine.num_cells
     occ = engine.resident(state.active)[:, :C]          # [cap, C]
@@ -44,7 +45,7 @@ def row_kmax(engine, state):
     per_row = jnp.max(per_cell.reshape(ny, nx), axis=1)  # [ny]
     padded = jnp.pad(per_row, (1, 1))
     band = jnp.maximum(jnp.maximum(padded[:-2], padded[1:-1]), padded[2:])
-    return band.astype(jnp.int32)
+    return band.astype(jnp.int32), per_row.astype(jnp.int32)
 
 
 HALO = 128  # DMA slices must be 128-lane aligned on TPU
@@ -74,7 +75,7 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, name):
     C = engine.num_cells
     h_sys = engine.h
 
-    def kernel(kmax_ref, *refs):
+    def kernel(kmax_ref, kmaxp_ref, *refs):
         in_refs = refs[:n_in]
         out_refs = refs[n_in:n_in + n_out]
         bufs = refs[n_in + n_out:n_in + n_out + 3 * n_in]  # [fi*3 + dj]
@@ -109,13 +110,19 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, name):
         x0p, x1p = p_all[1], p_all[2]
 
         kmax = kmax_ref[j]
+        kmaxp = kmaxp_ref[j]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, nx), 0)
         for oi in range(n_out):
             accs_ref[oi][:, :] = jnp.zeros((cap, nx), jnp.float32)
 
-        # static unroll over q slots, runtime-predicated on the row's max
-        # occupancy: empty slots are skipped entirely (the stratified
-        # atmosphere makes this a ~2.5x work saving over the dense block)
+        # static unroll over q slots and 8-row p-slot chunks, both
+        # runtime-predicated on the row's occupancy: empty slots and empty
+        # p-chunks are skipped entirely (the stratified atmosphere makes
+        # this a large work saving over the dense block)
+        # NOTE: chunking the p axis (8-row blocks under a second pl.when)
+        # was measured 2x SLOWER at 1M despite the skipped work — the extra
+        # predicated regions defeat Mosaic's scheduling. Keep one chunk.
+        p_chunks = [(0, cap)]
         for kq in range(cap):
             @pl.when(kq < kmax)
             def _(kq=kq):
@@ -128,15 +135,23 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, name):
                                  for fi in range(n_in)]
                         occ_q = (q_all[0] > 0.5) & rowvalid
                         x0q, x1q = q_all[1], q_all[2]
-                        r2 = ((x0p - x0q[None, :]) ** 2
-                              + (x1p - x1q[None, :]) ** 2)
-                        mask = occ_p & occ_q[None, :] & (r2 <= h_sys * h_sys)
-                        if dj == 1 and di == 1 and not self_pair:
-                            mask = mask & (row_ids != kq)
-                        contribs = pair_body(p_all, q_all, r2, mask)
-                        for oi in range(n_out):
-                            accs_ref[oi][:, :] += jnp.where(
-                                mask, contribs[oi], 0.0)
+                        for p0, plen in p_chunks:
+                            @pl.when(jnp.logical_or(p0 == 0, p0 < kmaxp))
+                            def _(p0=p0, plen=plen, q_all=q_all,
+                                  occ_q=occ_q, x0q=x0q, x1q=x1q, kq=kq,
+                                  dj=dj, di=di):
+                                psl = slice(p0, p0 + plen)
+                                pc_all = [a[psl] for a in p_all]
+                                r2 = ((pc_all[1] - x0q[None, :]) ** 2
+                                      + (pc_all[2] - x1q[None, :]) ** 2)
+                                mask = ((pc_all[0] > 0.5) & occ_q[None, :]
+                                        & (r2 <= h_sys * h_sys))
+                                if dj == 1 and di == 1 and not self_pair:
+                                    mask = mask & (row_ids[psl] != kq)
+                                contribs = pair_body(pc_all, q_all, r2, mask)
+                                for oi in range(n_out):
+                                    accs_ref[oi][psl, :] += jnp.where(
+                                        mask, contribs[oi], 0.0)
 
         for oi in range(n_out):
             out_refs[oi][:, :] = accs_ref[oi][:, :]
@@ -152,14 +167,14 @@ def _run_pair_kernel(engine, state, fields, pair_body, n_out, self_pair,
     occf = engine.resident(state.active).astype(jnp.float32)
     ins = _pad_fields(engine, [occf] + fields)  # each [cap, C+2]
     n_in = len(ins)
-    kmax = row_kmax(engine, state)
+    kmax, kmaxp = row_kmax(engine, state)
 
     kernel = _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, name)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(ny,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
-        out_specs=[pl.BlockSpec((cap, nx), lambda j, kmax: (0, j),
+        out_specs=[pl.BlockSpec((cap, nx), lambda j, kmax, kmaxp: (0, j),
                                 memory_space=pltpu.VMEM)] * n_out,
         scratch_shapes=[pltpu.VMEM((cap, nx + 256), jnp.float32)
                         for _ in range(3 * n_in)]
@@ -171,7 +186,7 @@ def _run_pair_kernel(engine, state, fields, pair_body, n_out, self_pair,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((cap, ny * nx), jnp.float32)] * n_out,
         interpret=interpret,
-    )(kmax, *ins)
+    )(kmax, kmaxp, *ins)
     # back to [cap*(C+1)] flat with the trash column re-appended
     flat = []
     for o in outs:

@@ -57,13 +57,14 @@ def test_row_kmax_band():
     state = sys_.freeze()
     eng = sys_.engine
     state, _ = jax.jit(eng.rebuild)(state)
-    kmax = np.asarray(pp.row_kmax(eng, state))
+    band_max, row_max = (np.asarray(a) for a in pp.row_kmax(eng, state))
     occ = np.asarray(state.active).reshape(eng.cap, eng.num_cells + 1)
     nx, ny = eng.lims
     per_row = occ[:, :eng.num_cells].sum(0).reshape(ny, nx).max(axis=1)
     for j in range(ny):
         band = per_row[max(0, j - 1): j + 2].max()
-        assert kmax[j] >= band  # trip count covers the stencil band
+        assert band_max[j] >= band  # q trip count covers the stencil band
+        assert row_max[j] >= per_row[j]  # p chunk bound covers the row
 
 
 def test_hopkins_step_pallas_matches_xla(interpret_kernels):
