@@ -10,6 +10,13 @@ vs_baseline is measured against the BASELINE.json north-star target of
 1e8 particle-steps/sec/chip at 1M particles on one v5e (the reference
 publishes no throughput numbers — BASELINE.md).
 
+Robustness contract (VERDICT round 1): the axon TPU tunnel can throw
+backend-level JaxRuntimeError/FailedPrecondition at any point (flakes,
+device held by another process). The whole build+run is retried with
+backoff, falls back Pallas->XLA, then to a CPU subprocess at small N, and
+a JSON line is emitted on EVERY exit path with rc=0 so the driver always
+records a parsed result.
+
 Usage: python bench.py [--particles 1000000] [--steps 20] [--repeats 3]
 """
 from __future__ import annotations
@@ -17,11 +24,15 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
+import subprocess
 import sys
 import time
 
+NORTH_STAR = 1e8  # particle-steps/s/chip at 1M (BASELINE.json)
 
-def main() -> None:
+
+def parse_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=float, default=1e6)
     ap.add_argument("--steps", type=int, default=20)
@@ -29,9 +40,15 @@ def main() -> None:
     ap.add_argument("--skin", type=float, default=0.2)
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
                     default=True)
-    ap.add_argument("--self-density", action="store_true", default=True)
-    args = ap.parse_args()
+    ap.add_argument("--self-density", action=argparse.BooleanOptionalAction,
+                    default=True, dest="self_density")
+    ap.add_argument("--force-cpu", action="store_true",
+                    help="run on the local CPU backend (fallback mode)")
+    return ap.parse_args(argv)
 
+
+def run_once(args, use_pallas: bool):
+    """One full build+warmup+timed attempt. Raises on any failure."""
     import jax
 
     from sph_mountain_waves_tpu.models import wcsph_perturbed_witch as w
@@ -39,56 +56,110 @@ def main() -> None:
     from sph_mountain_waves_tpu.models.witch_common import WitchConfig
 
     # pick n_rows so built particle count ≈ target (N ≈ n_rows^2 * L/H / hex_a)
-    target = args.particles
-    n_rows = max(8, int(round(math.sqrt(target / (400e3 / 26e3) / 1.0746))))
+    n_rows = max(8, int(round(math.sqrt(
+        args.particles / (400e3 / 26e3) / 1.0746))))
 
-    def build(use_pallas):
-        cfg = WitchConfig(n_rows=n_rows, dtype="float32", self_density=True,
-                          layout="bucket", skin=args.skin,
-                          use_pallas=use_pallas)
-        sys_ = w.make_system(cfg)
-        state = sys_.freeze()
-        step = w.make_step(cfg, sys_.engine)
-        return sys_, state, frame_runner(step, args.steps)
+    cfg = WitchConfig(n_rows=n_rows, dtype="float32",
+                      self_density=args.self_density,
+                      layout="bucket", skin=args.skin,
+                      use_pallas=use_pallas)
+    sys_ = w.make_system(cfg)
+    state = sys_.freeze()
+    step = w.make_step(cfg, sys_.engine)
+    run_frame = frame_runner(step, args.steps)
 
-    def sync(state):
+    def sync(st):
         # force a full device->host round trip: block_until_ready alone is
         # not a reliable barrier on the experimental remote (axon) platform
-        return float(jax.numpy.sum(state.fields["x"][:, 1]))
+        return float(jax.numpy.sum(st.fields["x"][:, 1]))
 
-    # warmup: compile + one frame; fall back to the pure-XLA path if the
-    # Pallas kernels fail to compile on this platform
-    try:
-        sys_, state, run_frame = build(args.pallas)
-        state = run_frame(state)
-        sync(state)
-    except Exception:
-        if not args.pallas:
-            raise
-        sys_, state, run_frame = build(False)
-        state = run_frame(state)
-        sync(state)
+    state = run_frame(state)  # warmup: compile + one frame
+    sync(state)
     n = sys_.n_built
 
     best = 0.0
-    times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
         state = run_frame(state)
         sync(state)
         dt = time.perf_counter() - t0
-        times.append(dt)
         best = max(best, n * args.steps / dt)
+    return best, n, jax.devices()[0].device_kind
 
-    result = {
+
+def emit(best: float, n, kind: str, note: str = "") -> None:
+    tag = f", {note}" if note else ""
+    print(json.dumps({
         "metric": "particle-steps/sec/chip (2D mountain-wave WCSPH, "
-                  f"N={n}, {jax.devices()[0].device_kind})",
+                  f"N={n}, {kind}{tag})",
         "value": round(best, 1),
         "unit": "particle-steps/s",
-        "vs_baseline": round(best / 1e8, 4),
-    }
-    print(json.dumps(result))
+        "vs_baseline": round(best / NORTH_STAR, 4),
+    }))
+
+
+def main() -> None:
+    args = parse_args()
+
+    if args.force_cpu:
+        # fallback subprocess mode: must reconfigure before backend init
+        # (sitecustomize registers axon but does not initialize backends)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    # Retry schedule: (use_pallas, sleep_before_s). Backend-level tunnel
+    # flakes (FailedPrecondition) get a fresh attempt after backoff; a
+    # Pallas compile problem falls back to the pure-XLA path.
+    schedule = [(args.pallas, 0), (args.pallas, 15), (False, 30), (False, 60)]
+    if not args.pallas:
+        schedule = [(False, 0), (False, 15), (False, 60)]
+
+    last_err = None
+    for use_pallas, sleep_s in schedule:
+        if sleep_s:
+            time.sleep(sleep_s)
+        try:
+            best, n, kind = run_once(args, use_pallas)
+            emit(best, n, kind, "" if use_pallas else "xla-path")
+            return
+        except Exception as e:  # noqa: BLE001 — contract: never die silently
+            last_err = e
+            print(f"bench attempt failed (pallas={use_pallas}): "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+
+    if not args.force_cpu:
+        # Accelerator unusable: measure on local CPU in a fresh process at
+        # small N so the driver still records a real (if modest) number.
+        try:
+            cmd = [sys.executable, os.path.abspath(__file__), "--force-cpu",
+                   "--particles", "25000", "--steps", "10", "--repeats", "2",
+                   "--no-pallas"]
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=1800, check=False)
+            for line in out.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{") and '"vs_baseline"' in line:
+                    print(line)
+                    return
+            print(f"cpu fallback produced no JSON (rc={out.returncode}): "
+                  f"{out.stderr[-500:]}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"cpu fallback failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    # ultimate fallback: a diagnostic JSON line, still rc=0
+    emit(0.0, 0, "unavailable",
+         f"all attempts failed: {type(last_err).__name__}")
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — the line must always print
+        print(json.dumps({
+            "metric": f"bench crashed: {type(e).__name__}: {e}"[:200],
+            "value": 0.0, "unit": "particle-steps/s", "vs_baseline": 0.0,
+        }))
+        if isinstance(e, KeyboardInterrupt):
+            raise
+    sys.exit(0)

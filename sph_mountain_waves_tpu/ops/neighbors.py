@@ -48,7 +48,8 @@ class Neighbors:
     counts: jnp.ndarray     # [num_cells+1] int32 particles per cell
     starts: jnp.ndarray     # [num_cells+1] int32 exclusive prefix
     bucket: jnp.ndarray     # [num_cells+1, cap] int32 particle slots (0-pad)
-    overflow: jnp.ndarray   # [] int32 max overflow beyond bucket capacity
+    overflow: jnp.ndarray   # [] int32: flat layout = max count beyond cap;
+    #                         bucket layout = rows dropped at this rescatter
 
 
 @dataclasses.dataclass(frozen=True)
@@ -223,20 +224,25 @@ class NeighborEngine:
         return sorted_state, nbrs
 
     # ------------------------------------------------ bucket-layout rebuild
-    def _full_rescatter(self, state: ParticleState) -> ParticleState:
+    def _full_rescatter(self, state: ParticleState):
         """Re-place every active particle at its slot rank*(C+1)+key.
-        Inactive and overflowed rows are dropped (reference removal semantics
-        + capped buckets); ``_xref`` is reset to the new positions."""
+        Inactive rows are dropped (reference removal semantics); rows whose
+        cell overflows ``cap`` are also dropped, but COUNTED and surfaced
+        (reference removal is observable — particle count printed per frame,
+        sph_jl/examples/cylinder.jl:202). ``_xref`` is reset to the new
+        positions. Returns (new_state, n_dropped_by_overflow)."""
         C, cap = self.num_cells, self.cap
         active, cell, key = self._screen_and_key(state)
         order = jnp.argsort(key, stable=True)
         key_s = key[order]
+        active_s = active[order]
         counts = jnp.zeros(C + 1, dtype=jnp.int32).at[key_s].add(1)
         starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                   jnp.cumsum(counts)[:-1].astype(jnp.int32)])
         rank = jnp.arange(key.shape[0], dtype=jnp.int32) - starts[key_s]
         slot = jnp.where((rank < cap) & (key_s < C),
                          rank * (C + 1) + key_s, self.slots)
+        overflow = jnp.sum(active_s & (rank >= cap) & (key_s < C)).astype(jnp.int32)
         fields = {}
         for name, arr in state.fields.items():
             if name == "_xref":
@@ -245,8 +251,8 @@ class NeighborEngine:
                                                              mode="drop"))
         fields["_xref"] = fields["x"]
         new_active = (jnp.zeros_like(state.active)
-                      .at[slot].set(active[order], mode="drop"))
-        return ParticleState(fields=fields, active=new_active)
+                      .at[slot].set(active_s, mode="drop"))
+        return ParticleState(fields=fields, active=new_active), overflow
 
     def _implicit_consts(self):
         """Static neighbor-structure components of the bucket layout —
@@ -262,7 +268,9 @@ class NeighborEngine:
                             posinf=jnp.inf)
         budget = (0.5 * self.skin * self.h) ** 2
         need = jnp.max(d2) > budget
-        state = jax.lax.cond(need, self._full_rescatter, lambda s: s, state)
+        state, overflow = jax.lax.cond(
+            need, self._full_rescatter,
+            lambda s: (s, jnp.zeros((), jnp.int32)), state)
 
         # implicit neighbor structure: the layout IS the cell assignment;
         # everything except counts/starts is static
@@ -275,8 +283,7 @@ class NeighborEngine:
         starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                   jnp.cumsum(counts)[:-1].astype(jnp.int32)])
         nbrs = Neighbors(cell=cellc, key=key, rank=rank, counts=counts,
-                         starts=starts, bucket=bucket,
-                         overflow=jnp.zeros((), jnp.int32))
+                         starts=starts, bucket=bucket, overflow=overflow)
         return state, nbrs
 
     def resident(self, arr: jnp.ndarray) -> jnp.ndarray:

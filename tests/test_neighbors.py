@@ -165,6 +165,50 @@ def test_point_sum_interpolation():
         np.testing.assert_allclose(got[k], np.sum(ms[sel] * (0.2 - r[sel])), rtol=1e-10)
 
 
+def test_point_sum_with_skin():
+    # probes must bin with cell_size=(1+skin)·h, not h — regression for the
+    # h-vs-cell_size trap (VERDICT r1 weak #7)
+    for layout in ("flat", "bucket"):
+        sys, state, x, m = make_cloud(200, 2, 1.0, 0.2, seed=5)
+        state = sys.freeze(layout=layout, skin=0.5)
+        eng = sys.engine
+        assert eng.cell_size > eng.h
+        state2, nbrs = eng.rebuild(state)
+        probes = np.array([[0.5, 0.5], [0.1, 0.9], [0.33, 0.66], [0.95, 0.05]])
+        got = np.asarray(point_sum(eng, state2, nbrs,
+                                   lambda q, r: q.m * (0.2 - r), probes))
+        xs = np.asarray(state2.fields["x"])
+        ms = np.asarray(state2.fields["m"])
+        act = np.asarray(state2.active)
+        for k, p in enumerate(probes):
+            r = np.linalg.norm(xs - p, axis=1)
+            sel = (r <= 0.2) & act
+            np.testing.assert_allclose(
+                got[k], np.sum(ms[sel] * (0.2 - r[sel])), rtol=1e-10,
+                err_msg=f"layout={layout} probe={k}")
+
+
+def test_bucket_overflow_surfaced():
+    # bucket-layout rescatter must COUNT dropped rows, not silently lose mass
+    # (VERDICT r1 weak #6; reference prints particle count per frame,
+    # sph_jl/examples/cylinder.jl:202)
+    dom = Rectangle(0.0, 0.0, 1.0, 1.0)
+    sys = ParticleSystem(fields={"x": 2, "m": 0}, domain=dom, h=0.25, dim=2,
+                         dtype=jnp.float64)
+    # 10 particles crammed into one cell, bucket capacity 4 -> 6 dropped
+    rng = np.random.default_rng(0)
+    pts = 0.1 + 0.04 * rng.uniform(size=(10, 2))
+    sys.add_particles(pts, {"m": 1.0})
+    state = sys.freeze(layout="bucket", cap=4)
+    state2, nbrs = sys.engine.rebuild(state)
+    assert int(nbrs.overflow) == 6
+    assert int(state2.n) == 4
+    # steady state (no drift): next rebuild skips rescatter, overflow resets
+    state3, nbrs3 = sys.engine.rebuild(state2)
+    assert int(nbrs3.overflow) == 0
+    assert int(state3.n) == 4
+
+
 def test_jit_and_scan_compatible():
     import jax
     sys, state, x, m = make_cloud(100, 2, 1.0, 0.2, seed=9)
