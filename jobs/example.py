@@ -1,5 +1,6 @@
 """Production example job (the reference's jobs/example.jl equivalent):
-run any scheme by name at a chosen resolution."""
+run any scheme by name at a chosen resolution. Leaves PVD + data.csv
+artifacts behind when --out is given."""
 import argparse
 
 SCHEMES = {
@@ -8,6 +9,8 @@ SCHEMES = {
     "full_hopkins": "full_hopkins_perturbed_witch",
     "hopkins_total": "hopkins_total_witch",
     "pavelka": "pavelka_total_witch",
+    "isph": "isph_witch",
+    "rayleigh_benard": "rayleigh_benard",
 }
 
 if __name__ == "__main__":
@@ -21,11 +24,21 @@ if __name__ == "__main__":
     import importlib
     mod = importlib.import_module(
         f"sph_mountain_waves_tpu.models.{SCHEMES[args.scheme]}")
-    from sph_mountain_waves_tpu.models.witch_common import WitchConfig
-    cfg = WitchConfig(n_rows=args.rows, t_end=args.t_end, dtype="float32",
-                      self_density=True, layout="bucket", skin=0.2)
     if args.scheme == "pavelka":
         from sph_mountain_waves_tpu.models.pavelka_total_witch import PavelkaConfig
         cfg = PavelkaConfig(n_rows=args.rows, t_end=args.t_end, dtype="float32")
+    elif args.scheme == "isph":
+        from sph_mountain_waves_tpu.models.isph_witch import ISPHWitchConfig
+        cfg = ISPHWitchConfig(n_rows=args.rows, t_end=args.t_end,
+                              dtype="float32")
+    elif args.scheme == "rayleigh_benard":
+        from sph_mountain_waves_tpu.models.rayleigh_benard import Config
+        cfg = Config(n_rows=args.rows, t_end=args.t_end, dtype="float32")
+    else:
+        from sph_mountain_waves_tpu.models.witch_common import WitchConfig
+        cfg = WitchConfig(n_rows=args.rows, t_end=args.t_end, dtype="float32",
+                          self_density=True, layout="bucket", skin=0.2,
+                          use_pallas=True)
     out = mod.run(cfg, out_path=args.out, verbose=True)
-    print("done; final u_max =", out["u_max"][-1])
+    key = "u_max" if "u_max" in out else "KE"
+    print(f"done; final {key} =", out[key][-1])

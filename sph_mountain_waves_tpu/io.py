@@ -21,7 +21,7 @@ import xml.etree.ElementTree as ET
 import numpy as np
 
 __all__ = ["DataStorage", "new_pvd_file", "save_pvd_file", "save_frame",
-           "import_particles", "read_vtp"]
+           "import_particles", "read_vtp", "save_csv", "read_csv"]
 
 _VTK_TYPES = {
     np.dtype("float32"): "Float32", np.dtype("float64"): "Float64",
@@ -182,3 +182,36 @@ def import_particles(sys, path: str, constructor=None) -> int:
             values[name] = arr.reshape(n, b, a).transpose(0, 2, 1)
     sys.add_particles(points, values)
     return n
+
+
+def save_csv(path: str, columns: dict) -> str:
+    """Write a time-series CSV of per-frame diagnostics — the reference's
+    ``data.csv`` artifact channel (sph_jl/examples/collapse_dry.jl:226-227
+    writes a DataFrame of the run observables next to the Paraview output).
+
+    ``columns`` maps name -> 1-D sequence; all columns must share a length.
+    Returns the path written."""
+    import csv
+
+    names = list(columns)
+    cols = [np.asarray(columns[n]).reshape(-1) for n in names]
+    n = len(cols[0]) if cols else 0
+    assert all(len(c) == n for c in cols), "CSV columns must share a length"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(names)
+        for i in range(n):
+            w.writerow([repr(float(c[i])) for c in cols])
+    return path
+
+
+def read_csv(path: str) -> dict:
+    """Read back a save_csv file as {name: float ndarray}."""
+    import csv
+
+    with open(path, newline="") as fh:
+        rows = list(csv.reader(fh))
+    names, data = rows[0], rows[1:]
+    out = {n: np.array([float(r[i]) for r in data]) for i, n in enumerate(names)}
+    return out

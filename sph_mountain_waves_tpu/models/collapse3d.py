@@ -42,6 +42,11 @@ class Config:
     t_end: float = 0.5
     n_frames: int = 200
     dtype: str = "float64"
+    # TPU fast path: bucket-resident layout + 27-offset Pallas pair kernels
+    # (requires float32; validated against the XLA path in tests/test_pallas.py)
+    layout: str = "flat"
+    skin: float = 0.0
+    use_pallas: bool = False
 
     @property
     def h(self) -> float:
@@ -76,6 +81,7 @@ def make_system(cfg: Config) -> ParticleSystem:
         fields={"x": 3, "v": 3, "a": 3, "P": 0, "rho": 0, "Drho": 0, "type": 0},
         domain=domain, h=cfg.h, dim=3, dtype=cfg.jdtype,
         defaults={"rho": cfg.rho0})
+    sys.freeze_opts = {"layout": cfg.layout, "skin": cfg.skin}
     generate_particles(sys, grid, fluid, lambda xs: {"type": FLUID})
     generate_particles(sys, grid, walls, lambda xs: {"type": WALL})
     return sys
@@ -116,12 +122,25 @@ def make_step(cfg: Config, engine):
         gvec = jnp.zeros_like(u.v).at[:, 2].set(cfg.g)
         return {"v": jnp.where(fluid, u.v + 0.5 * dt * (u.a + gvec), u.v)}
 
+    use_pallas = cfg.use_pallas and getattr(engine, "layout", "flat") == "bucket"
+    if use_pallas:
+        from ..ops.pallas_pairs import dambreak_force_pass, dambreak_mass_pass
+
     def step(state: ParticleState) -> ParticleState:
         state = apply_unary(state, move)
         state, nbrs = engine.rebuild(state)
-        state = apply_binary(engine, state, nbrs, balance_of_mass)
+        if use_pallas:
+            drho = state.fields["Drho"] + dambreak_mass_pass(engine, state, cfg)
+            state = state.replace(Drho=jnp.where(state.active, drho, 0.0))
+        else:
+            state = apply_binary(engine, state, nbrs, balance_of_mass)
         state = apply_unary(state, find_pressure)
-        state = apply_binary(engine, state, nbrs, internal_force)
+        if use_pallas:
+            acc = state.fields["a"] + jnp.stack(
+                dambreak_force_pass(engine, state, cfg), axis=-1)
+            state = state.replace(a=jnp.where(state.active[:, None], acc, 0.0))
+        else:
+            state = apply_binary(engine, state, nbrs, internal_force)
         state = apply_unary(state, accelerate)
         state = apply_unary(state, accelerate)  # (:143-153: two accelerates)
         return state

@@ -49,6 +49,10 @@ class Config:
     t_end: float = 4.0
     n_frames: int = 200
     dtype: str = "float64"
+    # TPU fast path: bucket-resident layout + Pallas pair kernels (float32)
+    layout: str = "flat"
+    skin: float = 0.0
+    use_pallas: bool = False
 
     @property
     def h(self) -> float:
@@ -79,6 +83,7 @@ def make_system(cfg: Config) -> ParticleSystem:
         fields={"x": 2, "v": 2, "Dv": 2, "rho": 0, "Drho": 0, "P": 0, "type": 0},
         domain=box + walls, h=cfg.h, dim=2,
         dtype=jnp.float64 if cfg.dtype == "float64" else jnp.float32)
+    sys.freeze_opts = {"layout": cfg.layout, "skin": cfg.skin}
     generate_particles(sys, grid, fluid, lambda xs: {"type": FLUID})
     generate_particles(sys, grid, walls, lambda xs: {"type": WALL})
     # hydrostatic pressure/density init (:97-100)
@@ -129,21 +134,42 @@ def make_step(cfg: Config, engine):
         gvec = jnp.zeros_like(u.v).at[:, 1].set(g)
         return {"v": jnp.where(fluid, u.v + 0.5 * dt * (u.Dv + gvec), u.v)}
 
+    use_pallas = cfg.use_pallas and getattr(engine, "layout", "flat") == "bucket"
+    if use_pallas:
+        from ..ops.pallas_pairs import dambreak_force_pass, dambreak_mass_pass
+
+    def pallas_mass(state):
+        drho = state.fields["Drho"] + dambreak_mass_pass(engine, state, cfg)
+        return state.replace(Drho=jnp.where(state.active, drho, 0.0))
+
+    def pallas_force(state):
+        dv = state.fields["Dv"] + jnp.stack(
+            dambreak_force_pass(engine, state, cfg), axis=-1)
+        return state.replace(Dv=jnp.where(state.active[:, None], dv, 0.0))
+
     def step(state: ParticleState) -> ParticleState:
         state = apply_unary(state, accelerate)
         state = apply_unary(state, move)
         state, nbrs = engine.rebuild(state)
-        state = apply_binary(engine, state, nbrs, balance_of_mass)
+        if use_pallas:
+            state = pallas_mass(state)
+        else:
+            state = apply_binary(engine, state, nbrs, balance_of_mass)
         state = apply_unary(state, find_pressure)
         state = apply_unary(state, move)
         state, nbrs = engine.rebuild(state)
-        state = apply_binary(engine, state, nbrs, internal_force)
+        if use_pallas:
+            state = pallas_force(state)
+        else:
+            state = apply_binary(engine, state, nbrs, internal_force)
         state = apply_unary(state, accelerate)
         return state
 
     def init_forces(state: ParticleState) -> ParticleState:
         # reference main: create_cell_list! + apply!(internal_force!) (:200-201)
         state, nbrs = engine.rebuild(state)
+        if use_pallas:
+            return pallas_force(state)
         return apply_binary(engine, state, nbrs, internal_force)
 
     return step, init_forces
@@ -202,6 +228,12 @@ def run(cfg: Config = Config(), out_path: str | None = None, verbose: bool = Fal
             save_frame(out, state, "v", "P", "type", time=t)
     if out:
         save_pvd_file(out)
+        # the reference persists the observables as data.csv next to the
+        # Paraview output (collapse_dry.jl:226-227)
+        from ..io import save_csv
+        import os as _os
+        save_csv(_os.path.join(out.path, "data.csv"),
+                 {"t": ts[: len(Xs)], "X": Xs, "H": Hs, "E": Es})
     sys.state = state  # earlier buffers were donated to the jitted frames
     return {"t": np.asarray(ts[: len(Xs)]), "X": np.asarray(Xs),
             "H": np.asarray(Hs), "E": np.asarray(Es), "state": state,

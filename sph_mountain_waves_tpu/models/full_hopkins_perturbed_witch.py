@@ -107,26 +107,45 @@ def make_step(cfg: WitchConfig, engine):
         return {"v": jnp.where(fluid, u.v + 0.5 * dt * acc, u.v),
                 "Dv": jnp.zeros_like(u.Dv)}
 
+    use_pallas = cfg.use_pallas and getattr(engine, "layout", "flat") == "bucket"
+    if use_pallas:
+        from ..ops.pallas_pairs import (
+            density_pass, hopkins_momentum_pass, pressure_pass)
+
     def step(state: ParticleState) -> ParticleState:
         state = apply_unary(state, accelerate)
         state = apply_unary(state, move)
         state, nbrs = engine.rebuild(state)
 
-        state = apply_unary(state, reset_density)
-        state = apply_binary(engine, state, nbrs, compute_density,
-                             self_interaction=cfg.self_density)
+        if use_pallas:
+            rho = density_pass(engine, state, cfg)
+            state = state.replace(rho=jnp.where(state.active, rho, 0.0))
+        else:
+            state = apply_unary(state, reset_density)
+            state = apply_binary(engine, state, nbrs, compute_density,
+                                 self_interaction=cfg.self_density)
         state = apply_unary(state, finalize_density)
         state = apply_unary(state, update_smoothing)
 
-        state = apply_unary(state, reset_pressure)
-        state = apply_binary(engine, state, nbrs, compute_pressure,
-                             self_interaction=cfg.self_density)
+        if use_pallas:
+            Proot = pressure_pass(engine, state, cfg)
+            state = state.replace(P=jnp.where(state.active, Proot, 0.0))
+        else:
+            state = apply_unary(state, reset_pressure)
+            state = apply_binary(engine, state, nbrs, compute_pressure,
+                                 self_interaction=cfg.self_density)
         state = apply_unary(state, finalize_pressure)
 
         state = apply_unary(state, find_temperature)
         state = apply_unary(state, find_pot_temp)
 
-        state = apply_binary(engine, state, nbrs, balance_of_momentum)
+        if use_pallas:
+            dvs = hopkins_momentum_pass(engine, state, cfg,
+                                        background_split=True)
+            Dv = state.fields["Dv"] + jnp.stack(dvs, axis=-1)
+            state = state.replace(Dv=jnp.where(state.active[:, None], Dv, 0.0))
+        else:
+            state = apply_binary(engine, state, nbrs, balance_of_momentum)
         state = apply_unary(state, accelerate)
         return state
 

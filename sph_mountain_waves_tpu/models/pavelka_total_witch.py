@@ -159,13 +159,23 @@ def make_step(cfg: PavelkaConfig, engine, parts: bool = False):
                     set_pressure=set_pressure,
                     balance_of_momentum=balance_of_momentum)
 
+    use_pallas = cfg.use_pallas and getattr(engine, "layout", "flat") == "bucket"
+    if use_pallas:
+        from ..ops.pallas_pairs import (
+            pavelka_mass_pass, pavelka_momentum_entropy_pass)
+
     def step(state: ParticleState) -> ParticleState:
         # verlet_step! (:238-255)
         state = apply_unary(state, accelerate)
         state = apply_unary(state, move)
         state, nbrs = engine.rebuild(state)
 
-        state = apply_binary(engine, state, nbrs, balance_of_mass)
+        if use_pallas:
+            drho = pavelka_mass_pass(engine, state, cfg)
+            Drho = state.fields["Drho"] + drho
+            state = state.replace(Drho=jnp.where(state.active, Drho, 0.0))
+        else:
+            state = apply_binary(engine, state, nbrs, balance_of_mass)
         state = apply_unary(state, balance_of_smoothing)
         state = apply_unary(state, update_smoothing)
         state = apply_unary(state, update_density)
@@ -174,8 +184,17 @@ def make_step(cfg: PavelkaConfig, engine, parts: bool = False):
         state = apply_unary(state, set_temperature)
         state = apply_unary(state, set_pressure)
         state = apply_unary(state, find_pot_temp)
-        state = apply_binary(engine, state, nbrs, entropy_production)
-        state = apply_binary(engine, state, nbrs, balance_of_momentum)
+        if use_pallas:
+            # fused sweep: entropy production + momentum share ker and x·v
+            *dvs, dS = pavelka_momentum_entropy_pass(engine, state, cfg)
+            S = state.fields["S"] + dS
+            Dv = state.fields["Dv"] + jnp.stack(dvs, axis=-1)
+            state = state.replace(
+                S=jnp.where(state.active, S, 0.0),
+                Dv=jnp.where(state.active[:, None], Dv, 0.0))
+        else:
+            state = apply_binary(engine, state, nbrs, entropy_production)
+            state = apply_binary(engine, state, nbrs, balance_of_momentum)
         state = apply_unary(state, accelerate)
         return state
 

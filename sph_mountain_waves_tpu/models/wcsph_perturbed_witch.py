@@ -15,6 +15,8 @@ verlet_step! :309-332, main :356-407.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -192,6 +194,11 @@ def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
             save_frame(out, state, *export_vars, time=t)
     if out:
         save_pvd_file(out)
+        # reference data.csv / unicodeplots channel
+        # (src/current/wcsph_perturbed_witch.jl:393-405)
+        from ..io import save_csv
+        save_csv(os.path.join(out.path, "data.csv"),
+                 {"t": ts, "u_avg": u_avgs, "u_max": u_maxs})
     sys.state = state
     return {"t": np.asarray(ts), "u_avg": np.asarray(u_avgs),
             "u_max": np.asarray(u_maxs), "state": state, "system": sys}

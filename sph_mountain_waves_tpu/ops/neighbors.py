@@ -142,8 +142,13 @@ class NeighborEngine:
             key = key + stride * ci[:, a]
             stride *= lims[a]
         occ = np.bincount(key).max()
-        # headroom for compression during the run; multiple of 4 for layout
-        cap = int(math.ceil(occ * 1.5)) + 2
+        # Headroom for compression during the run; multiple of 4 for layout.
+        # Keep cap TIGHT: the Pallas pair kernels process [cap, nx] VPU
+        # blocks and the bucket-layout state is cap·(C+1) rows, so every
+        # spare slot row costs real time everywhere (measured 2.2x end-to-end
+        # at 1M going 16→8). Overflow is surfaced (Neighbors.overflow), so a
+        # too-tight cap is observable, not silent.
+        cap = int(math.ceil(occ * 1.25)) + 1
         return -(-cap // 4) * 4
 
     # ------------------------------------------------------------ derived

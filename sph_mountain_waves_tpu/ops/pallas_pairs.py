@@ -1,21 +1,27 @@
-"""Pallas TPU pair-sweep kernels for the resident bucket layout (2-D).
+"""Pallas TPU pair-sweep kernels for the resident bucket layout (2-D + 3-D).
 
 The XLA cell-dense path evaluates every (slot_p, slot_q) pair of the dense
-cap×cap block — ~15% useful work under stratified occupancy (the atmosphere's
-bottom rows dictate cap). These kernels walk the q-slot axis with a **dynamic
-per-row trip count** (scalar-prefetched max occupancy over the row's stencil
-band), skipping empty slots entirely, and stream one grid row per program:
-the 3-row halo window of each field is DMA'd HBM→VMEM once and all 9 stencil
-offsets are slices of it.
+cap×cap block. These kernels walk the q-slot axis with a **dynamic per-row
+trip count** (scalar-prefetched max occupancy over the row's stencil band),
+skipping empty slots entirely, and stream one grid row per program: the
+3-row (2-D) / 9-row (3-D) halo window of each field is DMA'd HBM→VMEM once
+and all 9/27 stencil offsets are slices of it.
 
 Layout contract (NeighborEngine layout="bucket"): a field is [cap, C+1] with
-C = nx·ny flat row-major cells (slot = k·(C+1) + cy·nx + cx); a 3-row window
-with ±1-column halo is therefore one contiguous span per row. Column overrun
-at row edges wraps into the neighboring row exactly like the reference's
-flat-key arithmetic (src/structs.jl:97-106) and is removed by the r ≤ h mask.
+C = nx·ny(·nz) flat row-major cells (slot = k·(C+1) + (z·ny+)y·nx + x); a row
+window with ±1-column halo is one contiguous span per row. Column overrun at
+row edges wraps into the neighboring row exactly like the reference's
+flat-key arithmetic (src/structs.jl:97-106) and is removed by the pair mask.
 
-Used by the mountain-wave schemes when cfg.use_pallas=True; validated against
-the XLA path in tests (interpret mode on CPU, real kernels on TPU).
+Masking discipline: bodies receive ``maskf`` (float 0/1) and MULTIPLY it into
+their contribution instead of select chains — cheaper on the VPU, and safe
+because every hoisted per-particle input is floored/flushed to keep empty
+rows finite (a NaN operand would poison the VPU transcendental fast path).
+
+Used by the mountain-wave schemes (all five: wcsph/hopkins/full_hopkins/
+hopkins_total/pavelka) and the 3-D workloads when cfg.use_pallas=True;
+validated against the XLA path in tests (interpret mode on CPU, real kernels
+on TPU).
 """
 from __future__ import annotations
 
@@ -31,127 +37,158 @@ try:  # TPU-only module; interpret mode works anywhere
 except Exception:  # pragma: no cover
     pltpu = None
 
-__all__ = ["density_pass", "momentum_pass", "row_kmax"]
+__all__ = [
+    "density_pass", "pressure_pass", "momentum_pass",
+    "hopkins_momentum_pass", "pavelka_mass_pass",
+    "pavelka_momentum_entropy_pass", "dambreak_mass_pass",
+    "dambreak_force_pass", "row_kmax",
+]
+
+HALO = 128  # DMA slice starts must be 128-lane aligned on TPU
+
+
+def _grid_rows(engine):
+    """Number of kernel programs = grid rows: ny (2-D) or ny·nz (3-D)."""
+    if engine.dim == 2:
+        return engine.lims[1]
+    return engine.lims[1] * engine.lims[2]
 
 
 def row_kmax(engine, state):
     """(band_max, row_max): per-grid-row max bucket occupancy maxed over the
-    ±1 stencil band (the q-slot trip bound) and for the row itself (the
-    p-slot chunk bound). Each [ny] int32."""
-    nx, ny = engine.lims
+    stencil band (the q-slot trip bound) and for the row itself. Each [R]
+    int32 with R = ny (2-D) or ny·nz (3-D)."""
     C = engine.num_cells
+    nx = engine.lims[0]
+    R = _grid_rows(engine)
     occ = engine.resident(state.active)[:, :C]          # [cap, C]
     per_cell = jnp.sum(occ, axis=0)                     # [C]
-    per_row = jnp.max(per_cell.reshape(ny, nx), axis=1)  # [ny]
-    padded = jnp.pad(per_row, (1, 1))
-    band = jnp.maximum(jnp.maximum(padded[:-2], padded[1:-1]), padded[2:])
+    per_row = jnp.max(per_cell.reshape(R, nx), axis=1)  # [R]
+    if engine.dim == 2:
+        padded = jnp.pad(per_row, (1, 1))
+        band = jnp.maximum(jnp.maximum(padded[:-2], padded[1:-1]), padded[2:])
+    else:
+        ny, nz = engine.lims[1], engine.lims[2]
+        G = jnp.pad(per_row.reshape(nz, ny), ((1, 1), (1, 1)))
+        band = jnp.zeros((nz, ny), per_row.dtype)
+        for dk in range(3):
+            for dj in range(3):
+                band = jnp.maximum(band, G[dk:dk + nz, dj:dj + ny])
+        band = band.reshape(R)
     return band.astype(jnp.int32), per_row.astype(jnp.int32)
 
 
-HALO = 128  # DMA slices must be 128-lane aligned on TPU
-
-
 def _pad_fields(engine, fields):
-    """[cap, C+1] resident fields → [cap, C+640] with 128 leading zero
-    columns (so window starts stay 128-aligned and in bounds) and trailing
-    zeros covering the widest window of the last row."""
-    out = []
-    for f in fields:
-        C1 = f.shape[1]
-        trail = 640 - HALO - C1 % 128 if C1 % 128 else 640 - HALO
-        out.append(jnp.pad(f, ((0, 0), (HALO, 511))))
-    return out
+    """[cap, C+1] resident fields → [cap, HALO + C + HALO] with HALO leading
+    zero columns (so window starts stay 128-aligned and in bounds) and a
+    127-column tail: the widest window is the last row's
+    [C − nx, C + nx + 2·HALO) span, and C ≡ 0 (mod 128) by the bucket-layout
+    grid rounding, so HALO + (C+1) + 127 = C + 2·HALO covers it exactly."""
+    nx = engine.lims[0]
+    assert nx % 128 == 0, f"bucket grid nx must be 128-aligned, got {nx}"
+    return [jnp.pad(f, ((0, 0), (HALO, HALO - 1))) for f in fields]
 
 
-def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, name):
-    """Build a pallas_call for one pair sweep.
+def _window_offsets(dim):
+    """Row-window offsets DMA'd per program: (dj,) in 2-D, (dj, dk) in 3-D."""
+    if dim == 2:
+        return [(dj,) for dj in range(3)]
+    return [(dj, dk) for dk in range(3) for dj in range(3)]
 
-    pair_body(p_fields, q_fields, r2, h_sys) -> list of [cap, nx] contribs
-    where p_fields[i] is [cap, nx] (center row) and q_fields[i] is [cap? no —
-    one q slot row] [nx] broadcastable.
+
+def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair):
+    """Build a pallas kernel for one pair sweep.
+
+    pair_body(p_fields, q_fields, r2, maskf) -> list of [cap, nx] contribs,
+    each already multiplied by maskf. p_fields[i] is [cap, nx] (center row),
+    q_fields[i] is [nx] (one q slot row, broadcastable).
     """
-    nx, ny = engine.lims
+    nx = engine.lims[0]
+    ny = engine.lims[1]
     cap = engine.cap
-    C = engine.num_cells
     h_sys = engine.h
+    dim = engine.dim
+    wins = _window_offsets(dim)
+    nw = len(wins)
+    R = _grid_rows(engine)
 
     def kernel(kmax_ref, kmaxp_ref, *refs):
         in_refs = refs[:n_in]
         out_refs = refs[n_in:n_in + n_out]
-        bufs = refs[n_in + n_out:n_in + n_out + 3 * n_in]  # [fi*3 + dj]
-        accs_ref = refs[n_in + n_out + 3 * n_in:
-                        n_in + n_out + 3 * n_in + n_out]
+        bufs = refs[n_in + n_out:n_in + n_out + nw * n_in]  # [fi*nw + w]
+        accs_ref = refs[n_in + n_out + nw * n_in:
+                        n_in + n_out + nw * n_in + n_out]
         sems = refs[-1]
-        j = pl.program_id(0)
+        t = pl.program_id(0)
+        if dim == 2:
+            jy = t
+        else:
+            jy = t % ny
+            jz = t // ny
 
-        # DMA the 3-row halo windows of every field: original flat columns
-        # [row*nx - 128, row*nx + nx + 128) = padded [row*nx, row*nx+nx+256)
+        # DMA the row-window of every field: flat padded columns
+        # [row*nx, row*nx + nx + 2·HALO)
         W = nx + 2 * HALO
         for fi in range(n_in):
-            for dj in range(3):
-                row = jnp.clip(j + dj - 1, 0, ny - 1)
+            for w, off in enumerate(wins):
+                row = jnp.clip(jy + off[0] - 1, 0, ny - 1)
+                if dim == 3:
+                    rz = jnp.clip(jz + off[1] - 1, 0, engine.lims[2] - 1)
+                    row = row + ny * rz
                 start = pl.multiple_of(row * nx, 128)
                 pltpu.make_async_copy(
                     in_refs[fi].at[:, pl.ds(start, W)],
-                    bufs[fi * 3 + dj],
-                    sems.at[fi, dj],
+                    bufs[fi * nw + w],
+                    sems.at[fi, w],
                 ).start()
         for fi in range(n_in):
-            for dj in range(3):
+            for w in range(nw):
                 pltpu.make_async_copy(
                     in_refs[fi].at[:, pl.ds(0, W)],  # shape-only handle
-                    bufs[fi * 3 + dj],
-                    sems.at[fi, dj],
+                    bufs[fi * nw + w],
+                    sems.at[fi, w],
                 ).wait()
 
-        # p-side center row (occ is field 0, x0 field 1, x1 field 2)
-        p_all = [bufs[fi * 3 + 1][:, HALO:HALO + nx] for fi in range(n_in)]
-        occ_p = p_all[0] > 0.5
-        x0p, x1p = p_all[1], p_all[2]
+        # p-side center row (occ is field 0, x-coords fields 1..dim)
+        wc = wins.index((1,) if dim == 2 else (1, 1))
+        p_all = [bufs[fi * nw + wc][:, HALO:HALO + nx] for fi in range(n_in)]
 
-        kmax = kmax_ref[j]
-        kmaxp = kmaxp_ref[j]
+        kmax = kmax_ref[t]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, nx), 0)
         for oi in range(n_out):
             accs_ref[oi][:, :] = jnp.zeros((cap, nx), jnp.float32)
 
-        # static unroll over q slots and 8-row p-slot chunks, both
-        # runtime-predicated on the row's occupancy: empty slots and empty
-        # p-chunks are skipped entirely (the stratified atmosphere makes
-        # this a large work saving over the dense block)
-        # NOTE: chunking the p axis (8-row blocks under a second pl.when)
-        # was measured 2x SLOWER at 1M despite the skipped work — the extra
-        # predicated regions defeat Mosaic's scheduling. Keep one chunk.
-        p_chunks = [(0, cap)]
+        # static unroll over q slots, runtime-predicated on the stencil
+        # band's occupancy: empty slots are skipped entirely. (Chunking the
+        # p axis under a second pl.when was measured 2x SLOWER — nested
+        # predication defeats Mosaic scheduling. One chunk.)
         for kq in range(cap):
             @pl.when(kq < kmax)
             def _(kq=kq):
-                for dj in range(3):
-                    rowvalid = jnp.logical_and(j + dj - 1 >= 0,
-                                               j + dj - 1 < ny)
+                for w, off in enumerate(wins):
+                    rowvalid = jnp.logical_and(jy + off[0] - 1 >= 0,
+                                               jy + off[0] - 1 < ny)
+                    if dim == 3:
+                        rowvalid = jnp.logical_and(
+                            rowvalid,
+                            jnp.logical_and(jz + off[1] - 1 >= 0,
+                                            jz + off[1] - 1 < engine.lims[2]))
                     for di in range(3):
-                        q_all = [bufs[fi * 3 + dj][kq,
+                        q_all = [bufs[fi * nw + w][kq,
                                  HALO - 1 + di:HALO - 1 + di + nx]
                                  for fi in range(n_in)]
                         occ_q = (q_all[0] > 0.5) & rowvalid
-                        x0q, x1q = q_all[1], q_all[2]
-                        for p0, plen in p_chunks:
-                            @pl.when(jnp.logical_or(p0 == 0, p0 < kmaxp))
-                            def _(p0=p0, plen=plen, q_all=q_all,
-                                  occ_q=occ_q, x0q=x0q, x1q=x1q, kq=kq,
-                                  dj=dj, di=di):
-                                psl = slice(p0, p0 + plen)
-                                pc_all = [a[psl] for a in p_all]
-                                r2 = ((pc_all[1] - x0q[None, :]) ** 2
-                                      + (pc_all[2] - x1q[None, :]) ** 2)
-                                mask = ((pc_all[0] > 0.5) & occ_q[None, :]
-                                        & (r2 <= h_sys * h_sys))
-                                if dj == 1 and di == 1 and not self_pair:
-                                    mask = mask & (row_ids[psl] != kq)
-                                contribs = pair_body(pc_all, q_all, r2, mask)
-                                for oi in range(n_out):
-                                    accs_ref[oi][psl, :] += jnp.where(
-                                        mask, contribs[oi], 0.0)
+                        r2 = (p_all[1] - q_all[1][None, :]) ** 2
+                        for a in range(2, 1 + dim):
+                            r2 = r2 + (p_all[a] - q_all[a][None, :]) ** 2
+                        mask = ((p_all[0] > 0.5) & occ_q[None, :]
+                                & (r2 <= h_sys * h_sys))
+                        if w == wc and di == 1 and not self_pair:
+                            mask = mask & (row_ids != kq)
+                        maskf = mask.astype(jnp.float32)
+                        contribs = pair_body(p_all, q_all, r2, maskf)
+                        for oi in range(n_out):
+                            accs_ref[oi][:, :] += contribs[oi]
 
         for oi in range(n_out):
             out_refs[oi][:, :] = accs_ref[oi][:, :]
@@ -160,39 +197,54 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, name):
 
 
 def _run_pair_kernel(engine, state, fields, pair_body, n_out, self_pair,
-                     name, interpret=False):
-    nx, ny = engine.lims
+                     interpret=False):
+    nx = engine.lims[0]
     cap = engine.cap
     C = engine.num_cells
+    R = _grid_rows(engine)
     occf = engine.resident(state.active).astype(jnp.float32)
-    ins = _pad_fields(engine, [occf] + fields)  # each [cap, C+2]
+    ins = _pad_fields(engine, [occf] + fields)
     n_in = len(ins)
+    nw = len(_window_offsets(engine.dim))
     kmax, kmaxp = row_kmax(engine, state)
 
-    kernel = _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, name)
+    kernel = _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(ny,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
-        out_specs=[pl.BlockSpec((cap, nx), lambda j, kmax, kmaxp: (0, j),
+        grid=(R,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        out_specs=[pl.BlockSpec((cap, nx), lambda t, kmax, kmaxp: (0, t),
                                 memory_space=pltpu.VMEM)] * n_out,
-        scratch_shapes=[pltpu.VMEM((cap, nx + 256), jnp.float32)
-                        for _ in range(3 * n_in)]
+        scratch_shapes=[pltpu.VMEM((cap, nx + 2 * HALO), jnp.float32)
+                        for _ in range(nw * n_in)]
         + [pltpu.VMEM((cap, nx), jnp.float32) for _ in range(n_out)]
-        + [pltpu.SemaphoreType.DMA((n_in, 3))],
+        + [pltpu.SemaphoreType.DMA((n_in, nw))],
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((cap, ny * nx), jnp.float32)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((cap, R * nx), jnp.float32)] * n_out,
         interpret=interpret,
     )(kmax, kmaxp, *ins)
     # back to [cap*(C+1)] flat with the trash column re-appended
-    flat = []
-    for o in outs:
-        flat.append(jnp.pad(o, ((0, 0), (0, 1))).reshape(cap * (C + 1)))
-    return flat
+    return [jnp.pad(o, ((0, 0), (0, 1))).reshape(cap * (C + 1)) for o in outs]
 
+
+def _resident_xhm(engine, state, h_floor):
+    """Common hoists: per-axis coords + floored h, resident layout."""
+    f = state.fields
+    x = f["x"]
+    coords = [engine.resident(x[:, a]) for a in range(engine.dim)]
+    hB = engine.resident(jnp.maximum(f["h"], h_floor))
+    return coords, hB
+
+
+def _hfloor(engine):
+    # keeps 1/h finite on empty rows; far smaller than any physical h
+    return 1e-3 * engine.h
+
+
+# --------------------------------------------------------------------- W Σ
 
 def weighted_w_pass(engine, state, cfg, weight, ker_h: str = "p",
                     interpret=False):
@@ -207,28 +259,24 @@ def weighted_w_pass(engine, state, cfg, weight, ker_h: str = "p",
 
     ``weight`` is a per-particle [N] array; self term per cfg.self_density.
     """
-    from ..kernels import wendland2
-    f = state.fields
-    x = f["x"]
-    x0 = engine.resident(x[:, 0])
-    x1 = engine.resident(x[:, 1])
-    hB = engine.resident(f["h"])
+    from ..kernels import wendland2, wendland3
+    wfun = wendland2 if engine.dim == 2 else wendland3
+    coords, hB = _resident_xhm(engine, state, _hfloor(engine))
     wB = engine.resident(weight)
+    d = engine.dim
 
-    def body(p_all, q_all, r2, mask):
-        hp = p_all[3]
-        wq = q_all[4]
+    def body(p_all, q_all, r2, maskf):
+        hp = p_all[1 + d]
+        wq = q_all[2 + d]
         if ker_h == "p":
             hk = hp
         else:
-            hk = 0.5 * (hp + q_all[3][None, :])
-        r = jnp.sqrt(jnp.maximum(r2, 0.0))
-        w = wendland2(hk, jnp.where(mask, r, 2.0 * engine.h))
-        return [wq[None, :] * w]
+            hk = 0.5 * (hp + q_all[1 + d][None, :])
+        r = jnp.sqrt(r2)
+        return [maskf * wq[None, :] * wfun(hk, r)]
 
-    (out,) = _run_pair_kernel(engine, state, [x0, x1, hB, wB], body, 1,
-                              self_pair=cfg.self_density, name="wsum",
-                              interpret=interpret)
+    (out,) = _run_pair_kernel(engine, state, coords + [hB, wB], body, 1,
+                              self_pair=cfg.self_density, interpret=interpret)
     return out
 
 
@@ -241,58 +289,304 @@ def density_pass(engine, state, cfg, interpret=False):
 
 def pressure_pass(engine, state, cfg, interpret=False):
     """Hopkins smoothed-pressure root Σ q.m·q.A^{1/γ}·w(h_ij, r)
-    (compute_pressure!, hopkins_perturbed_witch.jl:205-208)."""
+    (compute_pressure!, hopkins_perturbed_witch.jl:205-208; identical pass in
+    full_hopkins_perturbed_witch.jl:206-214 and hopkins_total_witch.jl:168-180)."""
     weight = state.fields["m"] * state.fields["A"] ** (1.0 / cfg.gamma)
     return weighted_w_pass(engine, state, cfg, weight, ker_h="sym",
                            interpret=interpret)
 
 
+# ------------------------------------------------------------- momentum
+
+def _rdw_const(dim):
+    # -C of rDwendland{2,3} = (dw/dr)/r = -C·pos(1-r/h)^3 / h^{dim+2}
+    return -44.563384065730695 if dim == 2 else -66.84507609859604
+
+
 def momentum_pass(engine, state, cfg, interpret=False):
     """Perturbation-pressure + Monaghan-viscosity momentum sweep
-    (balance_of_momentum!, wcsph_perturbed_witch.jl:261-286). Returns the
-    (Dv0, Dv1) pair-sum contributions in flat slot order.
+    (balance_of_momentum!, wcsph_perturbed_witch.jl:261-286; identical form
+    in hopkins_perturbed_witch.jl:276-301). Returns the per-axis Dv pair-sum
+    contributions in flat slot order.
 
     Per-particle quantities (sound speed c = √(γP/ρ), pressure term P′/ρ²,
     floored ρ) are hoisted out of the kernel — the per-pair body carries a
     single sqrt."""
-    from ..kernels import rDwendland2
     f = state.fields
-    x = f["x"]
-    gamma, alpha, beta, eps, floor = (cfg.gamma, cfg.alpha, cfg.beta,
-                                      cfg.eps, cfg.rho_floor)
-    rho_f = jnp.maximum(f["rho"], floor)
+    d = engine.dim
+    gamma, alpha, beta, eps = cfg.gamma, cfg.alpha, cfg.beta, cfg.eps
+    rho_f = jnp.maximum(f["rho"], cfg.rho_floor)
     Aterm = f["P_p"] / rho_f**2
     cs = jnp.sqrt(jnp.maximum(gamma * f["P"] / rho_f, 0.0))
-    fields = [engine.resident(a) for a in (
-        x[:, 0], x[:, 1], f["h"], f["m"], f["v"][:, 0], f["v"][:, 1],
-        rho_f, Aterm, cs)]
+    coords, hB = _resident_xhm(engine, state, _hfloor(engine))
+    fields = coords + [hB] + [engine.resident(a) for a in (
+        (f["m"],) + tuple(f["v"][:, a] for a in range(d))
+        + (rho_f, Aterm, cs))]
+    DW = _rdw_const(d)
 
-    def body(p_all, q_all, r2, mask):
-        (_, x0p, x1p, hp, _, v0p, v1p, rhop, Ap, cp) = p_all
-        (_, x0q, x1q, hq, mq, v0q, v1q, rhoq, Aq, cq) = q_all
-        x0q = x0q[None, :]; x1q = x1q[None, :]; hq = hq[None, :]
-        mq = mq[None, :]; v0q = v0q[None, :]; v1q = v1q[None, :]
-        rhoq = rhoq[None, :]; Aq = Aq[None, :]; cq = cq[None, :]
+    def body(p_all, q_all, r2, maskf):
+        hp = p_all[1 + d]
+        mq, rhoq, Aq, cq = (q_all[2 + d][None, :], q_all[3 + 2 * d][None, :],
+                            q_all[4 + 2 * d][None, :], q_all[5 + 2 * d][None, :])
+        rhop, Ap, cp = p_all[3 + 2 * d], p_all[4 + 2 * d], p_all[5 + 2 * d]
 
-        r = jnp.sqrt(jnp.maximum(r2, 0.0))
-        r_safe = jnp.where(mask, r, 2.0 * engine.h)
-        h_ij = 0.5 * (hp + hq)
-        ker = rDwendland2(h_ij, r_safe)
-        dx0 = x0p - x0q
-        dx1 = x1p - x1q
-        dot = dx0 * (v0p - v0q) + dx1 * (v1p - v1q)
+        r = jnp.sqrt(r2)
+        h_ij = 0.5 * (hp + q_all[1 + d][None, :])
+        hinv = 1.0 / h_ij
+        t = jnp.maximum(1.0 - r * hinv, 0.0) * maskf
+        hinv2 = hinv * hinv
+        ker = DW * t * t * t * (hinv2 * hinv2 if d == 2
+                                else hinv2 * hinv2 * hinv)
+
+        dx = [p_all[1 + a] - q_all[1 + a][None, :] for a in range(d)]
+        dv = [p_all[3 + d + a] - q_all[3 + d + a][None, :] for a in range(d)]
+        dot = sum(dx[a] * dv[a] for a in range(d))
 
         coef = -mq * (Ap + Aq) * ker
         c_ij = 0.5 * (cp + cq)
         rho_ij = 0.5 * (rhop + rhoq)
         mu_ij = (h_ij * dot) / (r2 + eps * h_ij * h_ij)
-        pi_ij = (-alpha * c_ij * mu_ij + beta * mu_ij**2) / rho_ij
-        visc = jnp.where(dot < 0.0, -mq * pi_ij * ker, 0.0)
-
+        pi_ij = (-alpha * c_ij * mu_ij + beta * mu_ij * mu_ij) / rho_ij
+        visc = (dot < 0.0).astype(jnp.float32) * (-mq) * pi_ij * ker
         s = coef + visc
-        return [s * dx0, s * dx1]
+        return [s * dx[a] for a in range(d)]
 
-    dv0, dv1 = _run_pair_kernel(engine, state, fields, body, 2,
-                                self_pair=False, name="momentum",
-                                interpret=interpret)
-    return dv0, dv1
+    return _run_pair_kernel(engine, state, fields, body, d,
+                            self_pair=False, interpret=interpret)
+
+
+def hopkins_momentum_pass(engine, state, cfg, background_split: bool,
+                          interpret=False):
+    """Hopkins two-kernel P^(1−2/γ) gradient momentum + Monaghan viscosity.
+
+    background_split=False: total form (balance_of_momentum!,
+    hopkins_total_witch.jl:229-263). background_split=True: a_tot − a_bg
+    with background entropy A_bg (full_hopkins_perturbed_witch.jl:284-318).
+
+    Hoisted per particle: Ag = A^{1/γ}, Pe = max(P, floor)^(1−2/γ), their
+    _bg twins, floored ρ and sound speed; the pair body then computes
+    prefac·(Pe_p·ker_p + Pe_q·ker_q) with per-particle-h kernels."""
+    f = state.fields
+    d = engine.dim
+    gamma, alpha, beta, eps = cfg.gamma, cfg.alpha, cfg.beta, cfg.eps
+    expfac = 1.0 - 2.0 / gamma
+    rho_f = jnp.maximum(f["rho"], cfg.rho_floor)
+    cs = jnp.sqrt(jnp.maximum(gamma * f["P"] / rho_f, 0.0))
+    Ag = f["A"] ** (1.0 / gamma)
+    Pe = jnp.maximum(f["P"], cfg.P_floor) ** expfac
+    hoisted = [f["m"]] + [f["v"][:, a] for a in range(d)] + [rho_f, cs, Ag, Pe]
+    if background_split:
+        Abg_g = f["A_bg"] ** (1.0 / gamma)
+        Pbg_e = jnp.maximum(f["P_bg"], cfg.P_floor) ** expfac
+        hoisted += [Abg_g, Pbg_e]
+    coords, hB = _resident_xhm(engine, state, _hfloor(engine))
+    fields = coords + [hB] + [engine.resident(a) for a in hoisted]
+    DW = _rdw_const(d)
+    b0 = 2 + d  # index of first hoisted field (after occ, coords, h)
+
+    def body(p_all, q_all, r2, maskf):
+        hp = p_all[1 + d]
+        hq = q_all[1 + d][None, :]
+        mq = q_all[b0][None, :]
+        rhop, rhoq = p_all[b0 + 1 + d], q_all[b0 + 1 + d][None, :]
+        cp, cq = p_all[b0 + 2 + d], q_all[b0 + 2 + d][None, :]
+        Agp, Agq = p_all[b0 + 3 + d], q_all[b0 + 3 + d][None, :]
+        Pep, Peq = p_all[b0 + 4 + d], q_all[b0 + 4 + d][None, :]
+
+        r = jnp.sqrt(r2)
+
+        def rdw(h):
+            hinv = 1.0 / h
+            t = jnp.maximum(1.0 - r * hinv, 0.0) * maskf
+            hinv2 = hinv * hinv
+            return DW * t * t * t * (hinv2 * hinv2 if d == 2
+                                     else hinv2 * hinv2 * hinv)
+
+        ker_i = rdw(hp)
+        ker_j = rdw(hq)
+        s = -mq * Agp * Agq * (Pep * ker_i + Peq * ker_j)
+        if background_split:
+            Abgp, Abgq = p_all[b0 + 5 + d], q_all[b0 + 5 + d][None, :]
+            Pbep, Pbeq = p_all[b0 + 6 + d], q_all[b0 + 6 + d][None, :]
+            s = s + mq * Abgp * Abgq * (Pbep * ker_i + Pbeq * ker_j)
+
+        dx = [p_all[1 + a] - q_all[1 + a][None, :] for a in range(d)]
+        dv = [p_all[b0 + 1 + a] - q_all[b0 + 1 + a][None, :] for a in range(d)]
+        dot = sum(dx[a] * dv[a] for a in range(d))
+        h_ij = 0.5 * (hp + hq)
+        ker = rdw(h_ij)
+        c_ij = 0.5 * (cp + cq)
+        rho_ij = 0.5 * (rhop + rhoq)
+        mu_ij = (h_ij * dot) / (r2 + eps * h_ij * h_ij)
+        pi_ij = (-alpha * c_ij * mu_ij + beta * mu_ij * mu_ij) / rho_ij
+        visc = (dot < 0.0).astype(jnp.float32) * (-mq) * pi_ij * ker
+        s = s + visc
+        return [s * dx[a] for a in range(d)]
+
+    return _run_pair_kernel(engine, state, fields, body, d,
+                            self_pair=False, interpret=interpret)
+
+
+# ------------------------------------------------------------- dam break
+
+def dambreak_mass_pass(engine, state, cfg, interpret=False):
+    """WCSPH continuity with fixed h: Drho = Σ m·rDw(h,r)·(x_pq·v_pq
+    + 2ν(ρp−ρq)) (collapse_dry.jl:112-115; collapse3d.jl:92-97). Works in
+    2-D (9 offsets, rDwendland2) and 3-D (27 offsets, rDwendland3)."""
+    f = state.fields
+    d = engine.dim
+    coords = [engine.resident(f["x"][:, a]) for a in range(d)]
+    fields = coords + [engine.resident(a) for a in
+                       [f["v"][:, a] for a in range(d)] + [f["rho"]]]
+    # fixed h: fold m and the kernel normalization into one constant
+    kc = cfg.m * _rdw_const(d) / cfg.h ** (d + 2)
+    hinv = 1.0 / cfg.h
+    nu = cfg.nu
+
+    def body(p_all, q_all, r2, maskf):
+        r = jnp.sqrt(r2)
+        t = jnp.maximum(1.0 - r * hinv, 0.0) * maskf
+        ker = kc * t * t * t
+        dx = [p_all[1 + a] - q_all[1 + a][None, :] for a in range(d)]
+        dv = [p_all[1 + d + a] - q_all[1 + d + a][None, :] for a in range(d)]
+        dot = sum(dx[a] * dv[a] for a in range(d))
+        drho = p_all[1 + 2 * d] - q_all[1 + 2 * d][None, :]
+        return [ker * (dot + 2.0 * nu * drho)]
+
+    (out,) = _run_pair_kernel(engine, state, fields, body, 1,
+                              self_pair=False, interpret=interpret)
+    return out
+
+
+def dambreak_force_pass(engine, state, cfg, interpret=False):
+    """WCSPH fluid-only momentum with fixed h: −m·rDw·(Pp/ρp²+Pq/ρq²)·x_pq
+    + 2m·rDw·μ/ρ0²·v_pq (collapse_dry.jl:135-141; collapse3d.jl:99-116 with
+    the committed undefined-rho defect replaced by the symmetric P/ρ² form).
+    Returns per-axis acceleration contributions (p-side FLUID gate applied)."""
+    f = state.fields
+    d = engine.dim
+    rho_f = jnp.maximum(f["rho"], 1e-12)
+    Pterm = f["P"] / rho_f**2
+    fluid = (f["type"] == 0.0).astype(jnp.float32)
+    coords = [engine.resident(f["x"][:, a]) for a in range(d)]
+    fields = coords + [engine.resident(a) for a in
+                       [f["v"][:, a] for a in range(d)] + [Pterm, fluid]]
+    kc = cfg.m * _rdw_const(d) / cfg.h ** (d + 2)
+    hinv = 1.0 / cfg.h
+    visc_c = 2.0 * cfg.mu / cfg.rho0**2
+
+    def body(p_all, q_all, r2, maskf):
+        r = jnp.sqrt(r2)
+        t = jnp.maximum(1.0 - r * hinv, 0.0) * maskf * p_all[2 + 2 * d]
+        ker = kc * t * t * t
+        s = -ker * (p_all[1 + 2 * d] + q_all[1 + 2 * d][None, :])
+        w = ker * visc_c
+        return [s * (p_all[1 + a] - q_all[1 + a][None, :])
+                + w * (p_all[1 + d + a] - q_all[1 + d + a][None, :])
+                for a in range(d)]
+
+    return _run_pair_kernel(engine, state, fields, body, d,
+                            self_pair=False, interpret=interpret)
+
+
+# --------------------------------------------------------------- pavelka
+
+def pavelka_mass_pass(engine, state, cfg, interpret=False):
+    """δ-SPH continuity sweep (balance_of_mass!, pavelka_total_witch.jl
+    :195-201): Drho = Σ ρ_p·(m_q/ρ_q)·rDw(h_ij,r)·(x_pq·v_pq) + fluid-fluid
+    diffusion (fixed Molteni–Colagrossi form when cfg.fixed_diffusion).
+    FLUID type code is 0.0 (witch_common.py)."""
+    f = state.fields
+    d = engine.dim
+    rho_f = jnp.maximum(f["rho"], cfg.rho_floor)
+    wq = f["m"] / rho_f
+    fluid = (f["type"] == 0.0).astype(jnp.float32)
+    hoisted = [f["v"][:, a] for a in range(d)] + [rho_f, wq, fluid]
+    coords, hB = _resident_xhm(engine, state, _hfloor(engine))
+    fields = coords + [hB] + [engine.resident(a) for a in hoisted]
+    DW = _rdw_const(d)
+    nu = cfg.nu
+    b0 = 2 + d
+    fixed = cfg.fixed_diffusion
+
+    def body(p_all, q_all, r2, maskf):
+        hp = p_all[1 + d]
+        hq = q_all[1 + d][None, :]
+        rhop, rhoq = p_all[b0 + d], q_all[b0 + d][None, :]
+        wqq = q_all[b0 + 1 + d][None, :]
+        both = p_all[b0 + 2 + d] * q_all[b0 + 2 + d][None, :]
+
+        r = jnp.sqrt(r2)
+        h_ij = 0.5 * (hp + hq)
+        hinv = 1.0 / h_ij
+        t = jnp.maximum(1.0 - r * hinv, 0.0) * maskf
+        hinv2 = hinv * hinv
+        ker = wqq * DW * t * t * t * (hinv2 * hinv2 if d == 2
+                                      else hinv2 * hinv2 * hinv)
+        dx = [p_all[1 + a] - q_all[1 + a][None, :] for a in range(d)]
+        dv = [p_all[b0 + a] - q_all[b0 + a][None, :] for a in range(d)]
+        dot = sum(dx[a] * dv[a] for a in range(d))
+        conv = rhop * ker * dot
+        if fixed:
+            diff = 2.0 * nu * (rhop - rhoq) * ker
+        else:  # reference-faithful kernel-less form (:199-200), divergent
+            diff = 2.0 * nu / rhop * (rhop - rhoq) * maskf
+        return [conv + both * diff]
+
+    (out,) = _run_pair_kernel(engine, state, fields, body, 1,
+                              self_pair=False, interpret=interpret)
+    return out
+
+
+def pavelka_momentum_entropy_pass(engine, state, cfg, interpret=False):
+    """Fused momentum + viscous entropy-production sweep
+    (balance_of_momentum! :132-137 and entropy production :168-175 of
+    pavelka_total_witch.jl): both sweeps share ker=(m_q/ρ_q)·rDw and
+    x_pq·v_pq, so one Pallas pass returns (Dv_axes..., dS). dt is baked into
+    dS per the reference."""
+    f = state.fields
+    d = engine.dim
+    rho_f = jnp.maximum(f["rho"], cfg.rho_floor)
+    wq = f["m"] / rho_f
+    Pterm = f["P"] / rho_f**2
+    T_f = jnp.maximum(f["T"], 1e-12)
+    fluid = (f["type"] == 0.0).astype(jnp.float32)
+    hoisted = ([f["m"]] + [f["v"][:, a] for a in range(d)]
+               + [rho_f, wq, Pterm, T_f, fluid])
+    coords, hB = _resident_xhm(engine, state, _hfloor(engine))
+    fields = coords + [hB] + [engine.resident(a) for a in hoisted]
+    DW = _rdw_const(d)
+    mu, dt = cfg.mu, cfg.dt
+    b0 = 2 + d
+
+    def body(p_all, q_all, r2, maskf):
+        hp = p_all[1 + d]
+        hq = q_all[1 + d][None, :]
+        mp, mq = p_all[b0], q_all[b0][None, :]
+        rhop, rhoq = p_all[b0 + 1 + d], q_all[b0 + 1 + d][None, :]
+        wqq = q_all[b0 + 2 + d][None, :]
+        Ptp, Ptq = p_all[b0 + 3 + d], q_all[b0 + 3 + d][None, :]
+        Tp = p_all[b0 + 4 + d]
+        both = p_all[b0 + 5 + d] * q_all[b0 + 5 + d][None, :]
+
+        r = jnp.sqrt(r2)
+        h_ij = 0.5 * (hp + hq)
+        hinv = 1.0 / h_ij
+        t = jnp.maximum(1.0 - r * hinv, 0.0) * maskf
+        hinv2 = hinv * hinv
+        ker = wqq * DW * t * t * t * (hinv2 * hinv2 if d == 2
+                                      else hinv2 * hinv2 * hinv)
+        dx = [p_all[1 + a] - q_all[1 + a][None, :] for a in range(d)]
+        dv = [p_all[b0 + 1 + a] - q_all[b0 + 1 + a][None, :] for a in range(d)]
+        dot = sum(dx[a] * dv[a] for a in range(d))
+
+        du = -rhop * ker * (Ptp + Ptq)
+        visc = (rhop * 8.0 * ker * mu / (rhop * rhoq) * dot
+                / (r2 + 0.0025 * (hp + hq) ** 2))
+        s = du + visc
+        dS = (-4.0 * mp * mq * ker * mu / (Tp * rhoq)
+              * dot * dot / (r2 + 0.01 * hp * hq) * dt) * both
+        return [s * dx[a] for a in range(d)] + [dS]
+
+    return _run_pair_kernel(engine, state, fields, body, d + 1,
+                            self_pair=False, interpret=interpret)

@@ -1,0 +1,525 @@
+"""Bucket-resident slab decomposition — the scale-real multi-chip path.
+
+The flat-layout ShardEngine (domain.py) re-sorts every device into the
+GLOBAL cell grid, so per-device memory and stencil work do not shrink with
+device count (kept as the reference-shaped cross-check). This module is the
+production design: each device owns a **slab-local bucket grid** of
+``slab_w + 4`` x-columns (2 ghost columns per side) rounded up to the TPU
+tile width, and the state lives in the resident bucket layout
+(ops/neighbors.py layout="bucket"), so
+
+  * per-device memory/work ∝ 1/n_dev (the local grid, not the global one),
+  * halo exchange is a pure column-block ``lax.ppermute`` — boundary cells
+    of the resident layout are contiguous strided slices, zero gathers,
+  * the Pallas pair kernels run unchanged on the local grid inside
+    ``shard_map`` (the engine surface below delegates to a local
+    NeighborEngine), and
+  * migration needs no separate channel: ghost columns mirror the
+    neighbor's boundary columns verbatim, and the (collective) rescatter
+    adopts any mirrored particle whose position falls in the local slab.
+
+Binning parity: local cell coords are computed as GLOBAL cell coords minus
+the slab offset (integer arithmetic), so a particle bins into exactly the
+same physical cell as on a single device — no floating-point drift from
+shifted origins.
+
+Ghost-refresh cadence: ghost columns are refreshed once per rebuild (every
+step). The 2-deep ghost band means ring-1 ghosts have complete neighborhoods
+locally, so ghost densities/pressures are recomputed locally rather than
+re-exchanged (SURVEY §2.6 halo-exchange plan; scaling-book-style: the
+collective rides ICI once per step).
+
+Drift/rescatter discipline: the skin-budget predicate is made collective
+with ``pmax`` so every device rescatters on the same step — this keeps the
+slot correspondence of mirrored ghost columns valid between rescatters.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.neighbors import NeighborEngine, Neighbors
+from ..structs import ParticleState
+
+__all__ = ["BucketDomainSharding", "BucketShardEngine",
+           "build_bucket_sharding", "shard_state_bucket",
+           "make_bucket_runner"]
+
+GHOST = 2  # ghost columns per side; also the boundary-band width exchanged
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketDomainSharding:
+    """Static description of the slab decomposition (hashable)."""
+    engine: NeighborEngine       # GLOBAL bucket engine (binning authority)
+    n_dev: int
+
+    def __post_init__(self):
+        assert self.engine.layout == "bucket", "bucket sharding needs bucket layout"
+
+    @property
+    def slab_w(self) -> int:
+        return -(-self.engine.lims[0] // self.n_dev)
+
+    @property
+    def local_lims(self) -> tuple:
+        nx_local = _round_up(self.slab_w + 2 * GHOST, 128)
+        return (nx_local,) + tuple(self.engine.lims[1:])
+
+    @property
+    def local_engine(self) -> NeighborEngine:
+        """Slab-local engine: same h/cap/skin, local grid. Its own
+        rebuild/screen is bypassed (BucketShardEngine implements the
+        distributed rebuild); everything static (lims, stencil, resident
+        views, Pallas row windows) runs on the local grid."""
+        g = self.engine
+        L = g.cell_size
+        mins = (0.0,) + tuple(g.mins[1:])
+        maxs = ((self.slab_w + 2 * GHOST) * L,) + tuple(g.maxs[1:])
+        return NeighborEngine(
+            dim=g.dim, h=g.h, phase=(0,) + tuple(g.phase[1:]),
+            lims=self.local_lims, cap=g.cap, dtype=g.dtype,
+            mins=mins, maxs=maxs, pair_mode="cell", layout="bucket",
+            skin=g.skin)
+
+    @property
+    def slots_local(self) -> int:
+        return self.local_engine.slots
+
+    @property
+    def owned_col_mask(self) -> np.ndarray:
+        """[local_nx] bool: columns owned by this device (same on every
+        device; the last device simply has empty columns past the domain)."""
+        m = np.zeros(self.local_lims[0], dtype=bool)
+        m[GHOST:GHOST + self.slab_w] = True
+        return m
+
+
+def build_bucket_sharding(sys, n_dev: int) -> BucketDomainSharding:
+    assert sys.engine is not None, "freeze() the system first"
+    return BucketDomainSharding(engine=sys.engine, n_dev=n_dev)
+
+
+def _owned_mask_flat(bds: BucketDomainSharding) -> np.ndarray:
+    """[slots_local] bool: slots in owned columns (static)."""
+    eng = bds.local_engine
+    nx = eng.lims[0]
+    C = eng.num_cells
+    col_of_cell = np.arange(C + 1, dtype=np.int64) % nx
+    col_of_cell[C] = nx - 1  # trash column is never owned
+    owned_cell = bds.owned_col_mask[col_of_cell]
+    owned_cell[C] = False
+    return np.tile(owned_cell, eng.cap)
+
+
+def shard_state_bucket(bds: BucketDomainSharding, sys,
+                       mesh: Mesh) -> ParticleState:
+    """Host-side initial distribution: place each built particle in its
+    device's local resident slot (owned columns only; ghost columns fill on
+    the first rebuild — _xref=inf forces a first-step rescatter+refresh)."""
+    g = bds.engine
+    eng = bds.local_engine
+    L = g.cell_size
+    dim = g.dim
+    host = sys.host_fields()
+    x = np.asarray(host["x"], dtype=np.float64)
+    n = len(x)
+    cg = np.floor(x[:, :dim] / L).astype(np.int64) - np.asarray(g.phase)
+    cg = np.clip(cg, 0, np.asarray(g.lims) - 1)
+    dev = np.clip(cg[:, 0] // bds.slab_w, 0, bds.n_dev - 1)
+
+    nx_l, C_l, cap = eng.lims[0], eng.num_cells, eng.cap
+    slots = eng.slots
+    dtype = np.dtype(jnp.dtype(sys.dtype))  # system state dtype (freeze parity)
+    fields = {}
+    for name, arr in host.items():
+        arr = np.asarray(arr)
+        fields[name] = np.zeros((bds.n_dev, slots) + arr.shape[1:],
+                                dtype=dtype)
+    xref = np.full((bds.n_dev, slots, dim), np.inf, dtype=dtype)
+    active = np.zeros((bds.n_dev, slots), dtype=bool)
+
+    for d in range(bds.n_dev):
+        rows = np.where(dev == d)[0]
+        cl = cg[rows].copy()
+        cl[:, 0] = cl[:, 0] - (d * bds.slab_w - GHOST)
+        key = cl[:, 0]
+        stride = nx_l
+        for a in range(1, dim):
+            key = key + stride * cl[:, a]
+            stride *= eng.lims[a]
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        counts = np.bincount(key_s, minlength=C_l + 1)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rank = np.arange(len(rows)) - starts[key_s]
+        if len(rank) and rank.max() >= cap:
+            raise ValueError(f"device {d}: initial occupancy {rank.max()+1} "
+                             f"> cap {cap}")
+        slot = rank * (C_l + 1) + key_s
+        for name in fields:
+            fields[name][d, slot] = np.asarray(host[name])[rows[order]]
+        active[d, slot] = True
+
+    fields["_xref"] = xref
+    sharding = NamedSharding(mesh, P("x"))
+    dev_fields = {k: jax.device_put(v.reshape((-1,) + v.shape[2:]), sharding)
+                  for k, v in fields.items()}
+    return ParticleState(fields=dev_fields,
+                         active=jax.device_put(active.reshape(-1), sharding))
+
+
+# ---------------------------------------------------------------- engine
+
+def _col_view(eng: NeighborEngine, arr: jnp.ndarray) -> jnp.ndarray:
+    """Flat [slots(, extra)] → [cap, (nz,) ny, nx(, extra)]: the resident
+    grid view whose x-column slices are the exchange blocks."""
+    cap = eng.cap
+    C = eng.num_cells
+    rest = arr.shape[1:]
+    B = arr.reshape((cap, C + 1) + rest)[:, :C]
+    if eng.dim == 2:
+        nx, ny = eng.lims
+        return B.reshape((cap, ny, nx) + rest)
+    nx, ny, nz = eng.lims
+    return B.reshape((cap, nz, ny, nx) + rest)
+
+
+def _from_col_view(eng: NeighborEngine, G: jnp.ndarray,
+                   trash: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of _col_view; ``trash`` is the [cap(, extra)] trash column."""
+    cap = eng.cap
+    C = eng.num_cells
+    rest = G.shape[eng.dim + 1:]
+    flat = G.reshape((cap, C) + rest)
+    return jnp.concatenate([flat, trash[:, None]], axis=1).reshape(
+        (cap * (C + 1),) + rest)
+
+
+def _take_cols(eng, G, c0, w):
+    ax = eng.dim  # x is the last spatial axis of the col view
+    return jax.lax.slice_in_dim(G, c0, c0 + w, axis=ax)
+
+
+def _put_cols(eng, G, block, c0):
+    idx = [0] * G.ndim
+    idx[eng.dim] = c0
+    return jax.lax.dynamic_update_slice(G, block.astype(G.dtype), tuple(idx))
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketShardEngine:
+    """Per-device engine inside shard_map. Presents the NeighborEngine
+    surface on the slab-local grid; ``rebuild`` = collective-skin rescatter
+    + ghost-column refresh."""
+    bds: BucketDomainSharding
+    axis: str = "x"
+
+    # ---- delegated static surface (ops/apply.py + pallas_pairs contract)
+    @property
+    def _eng(self):
+        return self.bds.local_engine
+
+    @property
+    def layout(self):
+        return "bucket"
+
+    @property
+    def h(self):
+        return self._eng.h
+
+    @property
+    def cell_size(self):
+        return self._eng.cell_size
+
+    @property
+    def skin(self):
+        return self._eng.skin
+
+    @property
+    def dim(self):
+        return self._eng.dim
+
+    @property
+    def cap(self):
+        return self._eng.cap
+
+    @property
+    def num_cells(self):
+        return self._eng.num_cells
+
+    @property
+    def lims(self):
+        return self._eng.lims
+
+    @property
+    def phase(self):
+        return self._eng.phase
+
+    @property
+    def stencil(self):
+        return self._eng.stencil
+
+    @property
+    def pair_mode(self):
+        return "cell"
+
+    @property
+    def slots(self):
+        return self._eng.slots
+
+    def flat_key(self, cell):
+        return self._eng.flat_key(cell)
+
+    def resident(self, arr):
+        return self._eng.resident(arr)
+
+    def pad_resident(self, B):
+        return self._eng.pad_resident(B)
+
+    def slice_resident(self, P_, offset):
+        return self._eng.slice_resident(P_, offset)
+
+    def shift_resident(self, B, offset):
+        return self._eng.shift_resident(B, offset)
+
+    def bucketize(self, nbrs, arr):
+        return self._eng.bucketize(nbrs, arr)
+
+    def occupancy(self, nbrs):
+        return self._eng.occupancy(nbrs)
+
+    def shift_cells(self, B, offset):
+        return self._eng.shift_cells(B, offset)
+
+    def stencil_candidates(self, nbrs, offset):
+        return self._eng.stencil_candidates(nbrs, offset)
+
+    # ------------------------------------------------------------ exchange
+    def _exchange_blocks(self, tree: dict, send_w: int):
+        """ppermute the outermost ``send_w`` OWNED columns each way.
+        Returns (recv_from_left, recv_from_right) column-block trees; edge
+        devices receive zeros."""
+        eng = self._eng
+        sw = self.bds.slab_w
+        n_dev = self.bds.n_dev
+        right_perm = [(i, i + 1) for i in range(n_dev - 1)]
+        left_perm = [(i + 1, i) for i in range(n_dev - 1)]
+
+        views = {k: _col_view(eng, v) for k, v in tree.items()}
+        send_r = {k: _take_cols(eng, v, GHOST + sw - send_w, send_w)
+                  for k, v in views.items()}
+        send_l = {k: _take_cols(eng, v, GHOST, send_w)
+                  for k, v in views.items()}
+        recv_from_left = jax.tree.map(
+            lambda a: jax.lax.ppermute(a, self.axis, right_perm), send_r)
+        recv_from_right = jax.tree.map(
+            lambda a: jax.lax.ppermute(a, self.axis, left_perm), send_l)
+        return recv_from_left, recv_from_right
+
+    def _exchange_tree(self, state: ParticleState) -> dict:
+        t = {k: v for k, v in state.fields.items() if k != "_xref"}
+        t["__active"] = state.active
+        return t
+
+    def _refresh_ghosts(self, state: ParticleState) -> ParticleState:
+        """Mirror the neighbors' boundary owned columns into my ghost
+        columns (one ppermute each way; pure slices)."""
+        eng = self._eng
+        sw = self.bds.slab_w
+        tree = self._exchange_tree(state)
+        recv_l, recv_r = self._exchange_blocks(tree, GHOST)
+        act_l = recv_l.pop("__active")
+        act_r = recv_r.pop("__active")
+
+        fields = dict(state.fields)
+        trash = {k: self.resident(v)[:, eng.num_cells]
+                 for k, v in state.fields.items()}
+        for k in recv_l:
+            G = _col_view(eng, fields[k])
+            G = _put_cols(eng, G, recv_l[k], 0)
+            G = _put_cols(eng, G, recv_r[k], GHOST + sw)
+            fields[k] = _from_col_view(eng, G, trash[k])
+        # ghost _xref mirrors ghost x so the drift predicate sees no ghost
+        # drift of its own (owners decide)
+        Gx = _col_view(eng, fields["_xref"])
+        Gx = _put_cols(eng, Gx, recv_l["x"], 0)
+        Gx = _put_cols(eng, Gx, recv_r["x"], GHOST + sw)
+        fields["_xref"] = _from_col_view(eng, Gx, trash["_xref"])
+
+        A = _col_view(eng, state.active)
+        A = _put_cols(eng, A, act_l, 0)
+        A = _put_cols(eng, A, act_r, GHOST + sw)
+        active = _from_col_view(eng, A,
+                                self.resident(state.active)[:, eng.num_cells])
+        return ParticleState(fields=fields, active=active)
+
+    # ----------------------------------------------------------- rescatter
+    def _local_keys(self, x, active):
+        """Global-parity binning: global cell coords minus the slab offset
+        (integer arithmetic — identical cells as a single-device run)."""
+        g = self.bds.engine
+        eng = self._eng
+        dim = g.dim
+        d = jax.lax.axis_index(self.axis)
+        L = jnp.asarray(g.cell_size, dtype=x.dtype)
+
+        finite = jnp.all(jnp.isfinite(x), axis=-1)
+        xs = jnp.where(finite[:, None], x, 0.0)
+        cg = (jnp.floor(xs / L).astype(jnp.int32)
+              - jnp.asarray(g.phase, dtype=jnp.int32))
+        # y(,z) containment: global bounds; x containment via local columns
+        mins = jnp.asarray(g.mins, dtype=x.dtype)
+        maxs = jnp.asarray(g.maxs, dtype=x.dtype)
+        inside_yz = jnp.all((x[:, 1:] >= mins[1:]) & (x[:, 1:] <= maxs[1:]),
+                            axis=-1)
+        inside_x = (x[:, 0] >= mins[0]) & (x[:, 0] <= maxs[0])
+        ok = active & jnp.where(finite, inside_yz & inside_x, False)
+
+        cl = cg.at[:, 0].add(-(d * self.bds.slab_w - GHOST))
+        nx_l = eng.lims[0]
+        in_local = (cl[:, 0] >= 0) & (cl[:, 0] < self.bds.slab_w + 2 * GHOST)
+        owned_col = (cl[:, 0] >= GHOST) & (cl[:, 0] < GHOST + self.bds.slab_w)
+        cl = jnp.clip(cl, 0, jnp.asarray(eng.lims, dtype=jnp.int32) - 1)
+        key = jnp.where(ok & in_local, eng.flat_key(cl), eng.num_cells)
+        return key.astype(jnp.int32), ok, owned_col
+
+    def _rescatter(self, state: ParticleState):
+        """Collective rescatter: exchange fresh boundary blocks, re-place my
+        owned particles + adopted migrants into local slots, then refresh
+        ghosts. Returns (state, n_dropped_by_overflow_or_escape)."""
+        eng = self._eng
+        C, cap = eng.num_cells, eng.cap
+        owned_flat = jnp.asarray(_owned_mask_flat(self.bds))
+
+        # 1. fresh copies of neighbor boundary particles (migrant source)
+        tree = self._exchange_tree(state)
+        recv_l, recv_r = self._exchange_blocks(tree, GHOST)
+
+        def flat_rows(block_tree):
+            out = {}
+            for k, v in block_tree.items():
+                out[k] = v.reshape((-1,) + v.shape[1 + eng.dim:])
+            return out
+
+        rows_l, rows_r = flat_rows(recv_l), flat_rows(recv_r)
+        act_l = rows_l.pop("__active")
+        act_r = rows_r.pop("__active")
+
+        # 2. combined candidate rows: my owned + received
+        my_act = state.active & owned_flat
+        names = [k for k in state.fields if k != "_xref"]
+        cat = {k: jnp.concatenate(
+            [state.fields[k], rows_l[k].astype(state.fields[k].dtype),
+             rows_r[k].astype(state.fields[k].dtype)], axis=0)
+            for k in names}
+        act_cat = jnp.concatenate([my_act, act_l, act_r], axis=0)
+
+        key, ok, owned_col = self._local_keys(cat["x"], act_cat)
+        keep = ok & owned_col          # adopt only rows in MY slab
+        key = jnp.where(keep, key, C).astype(jnp.int32)
+
+        order = jnp.argsort(key, stable=True)
+        key_s = key[order]
+        counts = jnp.zeros(C + 1, dtype=jnp.int32).at[key_s].add(1)
+        starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+        rank = jnp.arange(key.shape[0], dtype=jnp.int32) - starts[key_s]
+        slot = jnp.where((rank < cap) & (key_s < C),
+                         rank * (C + 1) + key_s, eng.slots)
+        overflow = jnp.sum(keep[order] & (rank >= cap) & (key_s < C))
+        # escapes: my owned active rows that went NaN / out of the global
+        # domain (reference removal; observable in the count like
+        # sph_jl/examples/cylinder.jl:202)
+        lost = jnp.sum(my_act & ~ok[: my_act.shape[0]])
+
+        fields = {}
+        for k in names:
+            arr = state.fields[k]
+            fields[k] = (jnp.zeros_like(arr).at[slot].set(
+                cat[k][order], mode="drop"))
+        fields["_xref"] = fields["x"]
+        active = (jnp.zeros_like(state.active)
+                  .at[slot].set(keep[order], mode="drop"))
+        new_state = ParticleState(fields=fields, active=active)
+
+        # 3. rebuild ghost mirrors on the new layout
+        new_state = self._refresh_ghosts(new_state)
+        return new_state, (overflow + lost).astype(jnp.int32)
+
+    # ------------------------------------------------------------- rebuild
+    def rebuild(self, state: ParticleState) -> tuple[ParticleState, Neighbors]:
+        eng = self._eng
+        C, cap = eng.num_cells, eng.cap
+        owned_flat = jnp.asarray(_owned_mask_flat(self.bds))
+
+        x = state.fields["x"]
+        d2 = jnp.sum((x - state.fields["_xref"]) ** 2, axis=-1)
+        d2 = jnp.nan_to_num(jnp.where(state.active & owned_flat, d2, 0.0),
+                            nan=jnp.inf, posinf=jnp.inf)
+        budget = (0.5 * eng.skin * eng.h) ** 2
+        need = jax.lax.pmax(jnp.max(d2), self.axis) > budget  # collective
+
+        zero = jax.lax.pvary(jnp.zeros((), jnp.int32), self.axis)
+        state, overflow = jax.lax.cond(
+            need,
+            self._rescatter,
+            lambda s: (self._refresh_ghosts(s), zero),
+            state)
+
+        key_np, rank_np, cell_np, bucket_np = eng._implicit_consts()
+        counts = jnp.sum(state.active.reshape(cap, C + 1),
+                         axis=0).astype(jnp.int32)
+        starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+        nbrs = Neighbors(cell=jnp.asarray(cell_np), key=jnp.asarray(key_np),
+                         rank=jnp.asarray(rank_np), counts=counts,
+                         starts=starts, bucket=jnp.asarray(bucket_np),
+                         overflow=overflow)
+        return state, nbrs
+
+
+# ---------------------------------------------------------------- runner
+
+def make_bucket_runner(bds: BucketDomainSharding, mesh: Mesh, make_step,
+                       steps_per_frame: int = 1):
+    """(run_frame, diagnostics) over the bucket-sharded state. ``make_step``
+    receives a BucketShardEngine, so scheme step functions — including their
+    Pallas fast paths — run unchanged inside shard_map."""
+    seng = BucketShardEngine(bds)
+    step = make_step(seng)
+    spec = P("x")
+    owned_np = _owned_mask_flat(bds)
+
+    # check_vma=False: pallas_call outputs carry no varying-manual-axes
+    # annotation, which the checker would otherwise reject inside shard_map
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec,
+             check_vma=False)
+    def shard_step_chunk(state: ParticleState) -> ParticleState:
+        def body(s, _):
+            return step(s), None
+        state, _ = jax.lax.scan(body, state, None, length=steps_per_frame)
+        return state
+
+    run_frame = jax.jit(shard_step_chunk, donate_argnums=0)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
+             out_specs=(P(), P(), P()))
+    def _diag(state: ParticleState):
+        owned = jnp.asarray(owned_np) & state.active
+        v = jnp.sqrt(jnp.sum(state.fields["v"] ** 2, axis=-1))
+        s = jax.lax.psum(jnp.sum(jnp.where(owned, v, 0)), "x")
+        n = jax.lax.psum(jnp.sum(owned), "x")
+        vmax = jax.lax.pmax(jnp.max(jnp.where(owned, v, 0)), "x")
+        return s / jnp.maximum(n, 1), vmax, n
+
+    return run_frame, jax.jit(_diag)

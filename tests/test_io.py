@@ -79,3 +79,19 @@ def test_read_vtp_points(io_dir):
     pts, fields = read_vtp(path)
     np.testing.assert_allclose(pts[:, :2], [[0.1, 0.2], [0.3, 0.4]])
     np.testing.assert_allclose(fields["s"], [1.0, 2.0])
+
+
+def test_csv_artifact_channel(io_dir):
+    """A run with out_path leaves PVD + data.csv behind (the reference's
+    data.csv channel, collapse_dry.jl:226-227)."""
+    import os
+    from sph_mountain_waves_tpu.io import read_csv
+    from sph_mountain_waves_tpu.models import collapse_dry as cd
+
+    out_dir = os.path.join(io_dir, "csvrun")
+    cfg = cd.Config(dr=0.12, t_end=0.15, n_frames=3)
+    out = cd.run(cfg, out_path=out_dir)
+    assert os.path.exists(os.path.join(out_dir, "result.pvd"))
+    back = read_csv(os.path.join(out_dir, "data.csv"))
+    assert set(back) == {"t", "X", "H", "E"}
+    np.testing.assert_allclose(back["E"], out["E"], rtol=1e-12)

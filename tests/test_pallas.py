@@ -67,17 +67,81 @@ def test_row_kmax_band():
         assert row_max[j] >= per_row[j]  # p chunk bound covers the row
 
 
-def test_hopkins_step_pallas_matches_xla(interpret_kernels):
-    from sph_mountain_waves_tpu.models import hopkins_perturbed_witch as hp
+def _scheme_pallas_vs_xla(module, make_cfg, n_steps=8, rel=1e-5):
     outs = {}
     for up in (False, True):
-        cfg = WitchConfig(n_rows=10, dtype="float32", self_density=True,
-                          layout="bucket", skin=0.2, use_pallas=up)
-        sys_ = hp.make_system(cfg)
+        cfg = make_cfg(up)
+        sys_ = module.make_system(cfg)
         state = sys_.freeze()
-        step = jax.jit(hp.make_step(cfg, sys_.engine))
-        for _ in range(8):
+        step = jax.jit(module.make_step(cfg, sys_.engine))
+        for _ in range(n_steps):
             state = step(state)
         outs[up] = [float(v) for v in velocity_diagnostics(state)]
-    assert outs[True][0] == pytest.approx(outs[False][0], rel=1e-5)
-    assert outs[True][1] == pytest.approx(outs[False][1], rel=1e-5)
+    assert np.all(np.isfinite(outs[True])) and np.all(np.isfinite(outs[False]))
+    assert outs[True][0] == pytest.approx(outs[False][0], rel=rel)
+    assert outs[True][1] == pytest.approx(outs[False][1], rel=rel)
+
+
+def test_hopkins_step_pallas_matches_xla(interpret_kernels):
+    from sph_mountain_waves_tpu.models import hopkins_perturbed_witch as hp
+    _scheme_pallas_vs_xla(hp, lambda up: WitchConfig(
+        n_rows=10, dtype="float32", self_density=True,
+        layout="bucket", skin=0.2, use_pallas=up))
+
+
+def test_full_hopkins_step_pallas_matches_xla(interpret_kernels):
+    from sph_mountain_waves_tpu.models import full_hopkins_perturbed_witch as fh
+    _scheme_pallas_vs_xla(fh, lambda up: WitchConfig(
+        n_rows=10, dtype="float32", self_density=True,
+        layout="bucket", skin=0.2, use_pallas=up))
+
+
+def test_hopkins_total_step_pallas_matches_xla(interpret_kernels):
+    from sph_mountain_waves_tpu.models import hopkins_total_witch as ht
+    _scheme_pallas_vs_xla(ht, lambda up: WitchConfig(
+        n_rows=10, dtype="float32", self_density=True,
+        layout="bucket", skin=0.2, use_pallas=up))
+
+
+def test_collapse_dry_pallas_matches_xla(interpret_kernels):
+    from sph_mountain_waves_tpu.models import collapse_dry as cd
+    outs = {}
+    for up in (False, True):
+        cfg = cd.Config(dr=0.08, dtype="float32", layout="bucket",
+                        skin=0.2, use_pallas=up, t_end=0.1)
+        sys_ = cd.make_system(cfg)
+        state = sys_.freeze()
+        step, init = cd.make_step(cfg, sys_.engine)
+        state = init(state)
+        step = jax.jit(step)
+        for _ in range(6):
+            state = step(state)
+        v = np.asarray(state.fields["v"])[np.asarray(state.active)]
+        outs[up] = [float(np.abs(v).mean()), float(np.abs(v).max())]
+    assert np.all(np.isfinite(outs[True]))
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4)
+
+
+def test_collapse3d_pallas_matches_xla(interpret_kernels):
+    # exercises the 27-offset 3-D kernel path
+    from sph_mountain_waves_tpu.models import collapse3d as c3
+    outs = {}
+    for up in (False, True):
+        cfg = c3.Config(dr=2.0e-2, dtype="float32", layout="bucket",
+                        skin=0.2, use_pallas=up, t_end=0.05)
+        sys_ = c3.make_system(cfg)
+        state = sys_.freeze()
+        step = jax.jit(c3.make_step(cfg, sys_.engine))
+        for _ in range(6):
+            state = step(state)
+        v = np.asarray(state.fields["v"])[np.asarray(state.active)]
+        outs[up] = [float(np.abs(v).mean()), float(np.abs(v).max())]
+    assert np.all(np.isfinite(outs[True]))
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4)
+
+
+def test_pavelka_step_pallas_matches_xla(interpret_kernels):
+    from sph_mountain_waves_tpu.models import pavelka_total_witch as pv
+    _scheme_pallas_vs_xla(pv, lambda up: pv.PavelkaConfig(
+        n_rows=10, dtype="float32", self_density=True,
+        layout="bucket", skin=0.2, use_pallas=up))
