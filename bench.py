@@ -37,7 +37,7 @@ def parse_args(argv=None):
     ap.add_argument("--particles", type=float, default=1e6)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--skin", type=float, default=0.2)
+    ap.add_argument("--skin", type=float, default=0.15)
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
                     default=True)
     ap.add_argument("--self-density", action=argparse.BooleanOptionalAction,
@@ -108,9 +108,11 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     # Retry schedule: (use_pallas, sleep_before_s). Backend-level tunnel
-    # flakes (FailedPrecondition) get a fresh attempt after backoff; a
-    # Pallas compile problem falls back to the pure-XLA path.
-    schedule = [(args.pallas, 0), (args.pallas, 15), (False, 30), (False, 60)]
+    # flakes (FailedPrecondition, Mosaic remote-compile HTTP 500) get fresh
+    # attempts after growing backoff — the Pallas path is ~5x the XLA path,
+    # so it is worth several retries before falling back to pure XLA.
+    schedule = [(args.pallas, 0), (args.pallas, 30), (args.pallas, 90),
+                (args.pallas, 180), (False, 30), (False, 60)]
     if not args.pallas:
         schedule = [(False, 0), (False, 15), (False, 60)]
 

@@ -22,7 +22,7 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--caps", type=str, default="16,8")
-    ap.add_argument("--skin", type=float, default=0.2)
+    ap.add_argument("--skin", type=float, default=0.15)
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
                     default=True)
     args = ap.parse_args()

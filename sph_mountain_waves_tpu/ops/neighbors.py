@@ -142,14 +142,16 @@ class NeighborEngine:
             key = key + stride * ci[:, a]
             stride *= lims[a]
         occ = np.bincount(key).max()
-        # Headroom for compression during the run; multiple of 4 for layout.
-        # Keep cap TIGHT: the Pallas pair kernels process [cap, nx] VPU
-        # blocks and the bucket-layout state is cap·(C+1) rows, so every
-        # spare slot row costs real time everywhere (measured 2.2x end-to-end
-        # at 1M going 16→8). Overflow is surfaced (Neighbors.overflow), so a
-        # too-tight cap is observable, not silent.
-        cap = int(math.ceil(occ * 1.25)) + 1
-        return -(-cap // 4) * 4
+        # Headroom for compression during the run, rounded to the f32
+        # sublane tile (8): the VPU processes [8, 128] tiles, so a 12-row
+        # block costs exactly what a 16-row block does — only multiples of 8
+        # are meaningful cap values on TPU (Mosaic also rejects unaligned
+        # row slices in the Pallas pair kernels). Keep cap TIGHT: the
+        # bucket-layout state is cap·(C+1) rows, so every spare 8-row tile
+        # costs real time everywhere (measured 2.2x end-to-end at 1M going
+        # 16→8). Overflow is surfaced (Neighbors.overflow), not silent.
+        cap = int(occ) + max(1, int(occ) // 4)
+        return -(-cap // 8) * 8
 
     # ------------------------------------------------------------ derived
     @property

@@ -96,16 +96,20 @@ def _window_offsets(dim):
     return [(dj, dk) for dk in range(3) for dj in range(3)]
 
 
-def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair):
+def _round_up_8(v: int) -> int:
+    return -(-v // 8) * 8
+
+
+def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
     """Build a pallas kernel for one pair sweep.
 
     pair_body(p_fields, q_fields, r2, maskf) -> list of [cap, nx] contribs,
     each already multiplied by maskf. p_fields[i] is [cap, nx] (center row),
-    q_fields[i] is [nx] (one q slot row, broadcastable).
+    q_fields[i] is [nx] (one q slot row, broadcastable). ``cap`` is the
+    8-aligned row count of the (possibly padded) input buffers.
     """
     nx = engine.lims[0]
     ny = engine.lims[1]
-    cap = engine.cap
     h_sys = engine.h
     dim = engine.dim
     wins = _window_offsets(dim)
@@ -208,26 +212,36 @@ def _run_pair_kernel(engine, state, fields, pair_body, n_out, self_pair,
     nw = len(_window_offsets(engine.dim))
     kmax, kmaxp = row_kmax(engine, state)
 
-    kernel = _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair)
+    # Mosaic requires memref row counts aligned to the f32 sublane tile (8):
+    # pad the cap axis with zero (= unoccupied, masked) rows and slice the
+    # outputs back. A [cap, nx] VPU block costs the same as its 8-row
+    # rounding anyway, so the padding is free compute-wise.
+    cap_pad = _round_up_8(cap)
+    if cap_pad != cap:
+        ins = [jnp.pad(f, ((0, cap_pad - cap), (0, 0))) for f in ins]
+
+    kernel = _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair,
+                               cap_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(R,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
-        out_specs=[pl.BlockSpec((cap, nx), lambda t, kmax, kmaxp: (0, t),
+        out_specs=[pl.BlockSpec((cap_pad, nx), lambda t, kmax, kmaxp: (0, t),
                                 memory_space=pltpu.VMEM)] * n_out,
-        scratch_shapes=[pltpu.VMEM((cap, nx + 2 * HALO), jnp.float32)
+        scratch_shapes=[pltpu.VMEM((cap_pad, nx + 2 * HALO), jnp.float32)
                         for _ in range(nw * n_in)]
-        + [pltpu.VMEM((cap, nx), jnp.float32) for _ in range(n_out)]
+        + [pltpu.VMEM((cap_pad, nx), jnp.float32) for _ in range(n_out)]
         + [pltpu.SemaphoreType.DMA((n_in, nw))],
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((cap, R * nx), jnp.float32)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((cap_pad, R * nx), jnp.float32)] * n_out,
         interpret=interpret,
     )(kmax, kmaxp, *ins)
     # back to [cap*(C+1)] flat with the trash column re-appended
-    return [jnp.pad(o, ((0, 0), (0, 1))).reshape(cap * (C + 1)) for o in outs]
+    return [jnp.pad(o[:cap], ((0, 0), (0, 1))).reshape(cap * (C + 1))
+            for o in outs]
 
 
 def _resident_xhm(engine, state, h_floor):

@@ -24,7 +24,8 @@ from ..structs import ParticleState
 from .apply import FieldsView, dist
 from .neighbors import NeighborEngine, Neighbors
 
-__all__ = ["assemble_matvec", "assemble_vector", "cg_solve", "assemble_matrix"]
+__all__ = ["assemble_matvec", "assemble_vector", "cg_solve",
+           "assemble_matrix", "assemble_matrix_bcoo"]
 
 
 def assemble_vector(state: ParticleState, func, **params) -> jnp.ndarray:
@@ -102,3 +103,36 @@ def assemble_matrix(engine: NeighborEngine, state: ParticleState, nbrs: Neighbor
         rows = jnp.broadcast_to(i_idx, cand.shape)
         A = A.at[rows.ravel(), cand.ravel()].add(jnp.where(mask, vals, 0.0).ravel())
     return A
+
+
+def assemble_matrix_bcoo(engine: NeighborEngine, state: ParticleState,
+                         nbrs: Neighbors, coeff, include_self: bool = True,
+                         **params):
+    """Explicit sparse assembly as a ``jax.experimental.sparse.BCOO``
+    matrix — completes the reference ``assemble_matrix`` contract
+    (SparseArrays COO, src/core.jl:196-225) for callers that want the
+    matrix itself rather than the matrix-free operator.
+
+    The neighbor structure bounds the pattern statically: nse =
+    N·cap·|stencil| entries (masked entries carry value 0 at index (i, i)),
+    so the result is jit-compatible with a fixed sparsity budget.
+    Production solves should still prefer ``assemble_matvec`` — one sweep
+    per apply, no materialization."""
+    from jax.experimental import sparse as jsparse
+
+    N = state.capacity
+    pview = FieldsView(state.fields, expand=True)
+    i_idx = jnp.arange(N, dtype=jnp.int32)[:, None]
+    datas, rows_l, cols_l = [], [], []
+    for cand, mask, r_safe in _stencil_terms(engine, state, nbrs,
+                                             include_self):
+        qview = FieldsView(state.fields, idx=cand)
+        vals = jnp.where(mask, coeff(pview, qview, r_safe, **params), 0.0)
+        rows = jnp.broadcast_to(i_idx, cand.shape)
+        datas.append(vals.ravel())
+        rows_l.append(jnp.where(mask, rows, i_idx).ravel())
+        cols_l.append(jnp.where(mask, cand, i_idx).ravel())
+    data = jnp.concatenate(datas)
+    indices = jnp.stack([jnp.concatenate(rows_l), jnp.concatenate(cols_l)],
+                        axis=-1)
+    return jsparse.BCOO((data, indices), shape=(N, N))

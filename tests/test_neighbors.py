@@ -251,3 +251,26 @@ def test_cell_mode_matches_gather_mode():
         av = np.asarray(apply_binary(eng_cell, st, nbrs, fv).fields["vsum"])
         bv = np.asarray(apply_binary(eng_gather, st, nbrs, fv).fields["vsum"])
         np.testing.assert_allclose(av, bv, rtol=1e-12, atol=1e-12)
+
+
+def test_bcoo_matches_dense_assembly():
+    # explicit BCOO sparse assembly == dense parity shim == matvec
+    from sph_mountain_waves_tpu.ops.solvers import (
+        assemble_matrix, assemble_matrix_bcoo, assemble_matvec)
+
+    sys, state, x, m = make_cloud(80, 2, 1.0, 0.2, seed=11)
+    eng = sys.engine
+    state2, nbrs = eng.rebuild(state)
+
+    def coeff(p, q, r):
+        return jnp.exp(-r) * q.m
+
+    A_dense = np.asarray(assemble_matrix(eng, state2, nbrs, coeff))
+    A_sp = assemble_matrix_bcoo(eng, state2, nbrs, coeff)
+    np.testing.assert_allclose(np.asarray(A_sp.todense()), A_dense,
+                               rtol=1e-12, atol=1e-14)
+    v = jnp.asarray(RNG.uniform(size=state2.capacity))
+    got = np.asarray(A_sp @ (v * state2.active))
+    want = np.asarray(assemble_matvec(eng, state2, nbrs, coeff)(v))
+    # BCOO rows for inactive p are already zero (mask), so no row filter
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-14)
