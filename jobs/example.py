@@ -11,6 +11,7 @@ SCHEMES = {
     "pavelka": "pavelka_total_witch",
     "isph": "isph_witch",
     "rayleigh_benard": "rayleigh_benard",
+    "witch3d": "witch3d",
 }
 
 if __name__ == "__main__":
@@ -34,6 +35,9 @@ if __name__ == "__main__":
     elif args.scheme == "rayleigh_benard":
         from sph_mountain_waves_tpu.models.rayleigh_benard import Config
         cfg = Config(n_rows=args.rows, t_end=args.t_end, dtype="float32")
+    elif args.scheme == "witch3d":
+        from sph_mountain_waves_tpu.models.witch3d import stretch_config
+        cfg = stretch_config(n_rows=args.rows, t_end=args.t_end)
     else:
         from sph_mountain_waves_tpu.models.witch_common import WitchConfig
         cfg = WitchConfig(n_rows=args.rows, t_end=args.t_end, dtype="float32",

@@ -1,0 +1,122 @@
+"""3-D mountain-wave gates (the BASELINE stretch configuration):
+static atmosphere stays near-static in 3-D, the 27-offset Pallas path
+matches XLA, and the slab-sharded bucket run matches single-device."""
+import jax
+import numpy as np
+import pytest
+
+from sph_mountain_waves_tpu.models import witch3d as w3
+from sph_mountain_waves_tpu.models.witch_common import (
+    FLUID, velocity_diagnostics,
+)
+
+# bc_rows=3 (> kernel support h ≈ 2.3·dr) instead of the production 6: at
+# n_rows=6 the fence is as thick as the domain and dominates grid/CPU cost
+TINY = dict(n_rows=6, dom_length=60e3, dom_depth=10e3, bc_rows=3,
+            self_density=True)
+
+
+def run_steps(cfg, n, with_setup=False):
+    sys = w3.make_system(cfg)
+    state = sys.freeze()
+    if with_setup:
+        state = w3.setup(cfg, sys.engine, state)
+    step = jax.jit(w3.make_step(cfg, sys.engine))
+    for _ in range(n):
+        state = step(state)
+    return sys, state
+
+
+def test_witch3d_static_atmosphere():
+    """Hydrostatic 3-D init + mass renormalization must stay near-static
+    (u_max << c ≈ 255 m/s) and conserve particles. Without renormalization
+    the cubic-lattice summation bias (~11%) becomes a body force."""
+    cfg = w3.Witch3DConfig(dtype="float64", **TINY)
+    sys, state = run_steps(cfg, 12, with_setup=True)
+    act = np.asarray(state.active)
+    v = np.asarray(state.fields["v"])[act]
+    assert np.isfinite(v).all()
+    assert int(state.n) == sys.n_built
+    assert float(np.max(np.linalg.norm(v, axis=1))) < 1.0  # m/s
+
+
+def test_witch3d_mass_renormalization_converges():
+    """After setup the kernel-summed density must equal the hydrostatic
+    background to <0.1% in the bulk."""
+    from sph_mountain_waves_tpu.models.witch_common import background_density
+    cfg = w3.Witch3DConfig(dtype="float64", **TINY)
+    sys = w3.make_system(cfg)
+    state = sys.freeze()
+    state = w3.setup(cfg, sys.engine, state)
+    step = jax.jit(w3.make_step(cfg, sys.engine))
+    state = step(state)  # one step recomputes rho by summation
+    act = np.asarray(state.active)
+    x = np.asarray(state.fields["x"])[act]
+    rho = np.asarray(state.fields["rho"])[act]
+    ratio = rho / background_density(cfg, x[:, 2])
+    assert abs(np.median(ratio) - 1.0) < 1e-3
+
+
+def test_witch3d_mass_element_is_cubic():
+    cfg = w3.Witch3DConfig(dtype="float64", **TINY)
+    sys = w3.make_system(cfg)
+    host = sys.host_fields()
+    from sph_mountain_waves_tpu.models.witch_common import background_density
+    np.testing.assert_allclose(
+        host["m"], background_density(cfg, host["x"][:, 2]) * cfg.dr**3)
+
+
+def test_witch3d_pallas_matches_xla(monkeypatch):
+    """27-offset density+momentum Pallas passes vs the XLA cell-dense path
+    on the same bucket-layout trajectory (interpret mode on CPU)."""
+    import sph_mountain_waves_tpu.ops.pallas_pairs as pp
+    orig = pp._run_pair_kernel
+    monkeypatch.setattr(pp, "_run_pair_kernel",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    outs = {}
+    for up in (False, True):
+        # eta=1.2 keeps bucket occupancy (and the interpret-mode unroll,
+        # which scales with cap x 27 offsets) ~5x smaller than eta=1.8
+        cfg = w3.Witch3DConfig(dtype="float32", layout="bucket", skin=0.15,
+                               use_pallas=up, eta=1.2, **TINY)
+        sys, state = run_steps(cfg, 3)
+        act = np.asarray(state.active)
+        v = np.asarray(state.fields["v"])[act]
+        outs[up] = [float(np.abs(v).mean()), float(np.abs(v).max())]
+    assert np.all(np.isfinite(outs[True]))
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4)
+
+
+def test_witch3d_bucket_sharded_matches_single_device():
+    """The stretch config's sharded path: slab-local bucket decomposition of
+    the 3-D witch must reproduce the single-device run exactly."""
+    from sph_mountain_waves_tpu.parallel.bucket import (
+        build_bucket_sharding, make_bucket_runner, shard_state_bucket)
+    from sph_mountain_waves_tpu.parallel.domain import make_mesh
+
+    cfg = w3.Witch3DConfig(dtype="float64", layout="bucket", skin=0.3,
+                           eta=1.2, **TINY)
+    sys1, st1 = run_steps(cfg, 6)
+    u1 = [float(v) for v in velocity_diagnostics(st1)]
+
+    sys2 = w3.make_system(cfg)
+    sys2.freeze()
+    mesh = make_mesh(8)
+    bds = build_bucket_sharding(sys2, 8)
+    state = shard_state_bucket(bds, sys2, mesh)
+    run_frame, diag = make_bucket_runner(
+        bds, mesh, lambda e: w3.make_step(cfg, e), steps_per_frame=6)
+    state = run_frame(state)
+    ua, um, n = diag(state)
+    assert int(n) == sys2.n_built
+    np.testing.assert_allclose([float(ua), float(um)], u1, rtol=1e-10)
+
+
+def test_stretch_config_sizing():
+    """stretch_config() must size the BASELINE 3-D stretch at 2M+ particles
+    (checked analytically — no host build at full size in the suite)."""
+    cfg = w3.stretch_config()
+    n_fluid = (cfg.dom_length / cfg.dr) * (cfg.dom_depth / cfg.dr) \
+        * (cfg.dom_height / cfg.dr)
+    assert n_fluid >= 2.0e6
+    assert cfg.layout == "bucket" and cfg.use_pallas
