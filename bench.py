@@ -59,14 +59,17 @@ def run_once(args, use_pallas: bool):
     n_rows = max(8, int(round(math.sqrt(
         args.particles / (400e3 / 26e3) / 1.0746))))
 
+    # lazy_diagnostics: T/θ materialize once per frame (inside the timed
+    # jit via finalize) instead of every step — trajectories identical
     cfg = WitchConfig(n_rows=n_rows, dtype="float32",
                       self_density=args.self_density,
                       layout="bucket", skin=args.skin,
-                      use_pallas=use_pallas)
+                      use_pallas=use_pallas, lazy_diagnostics=True)
     sys_ = w.make_system(cfg)
     state = sys_.freeze()
     step = w.make_step(cfg, sys_.engine)
-    run_frame = frame_runner(step, args.steps)
+    run_frame = frame_runner(step, args.steps,
+                             finalize=w.make_finalize(cfg))
 
     def sync(st):
         # force a full device->host round trip: block_until_ready alone is

@@ -21,16 +21,18 @@ __all__ = ["frame_runner", "masked_mean", "masked_max", "masked_sum"]
 
 
 def frame_runner(step_fn: Callable[[ParticleState], ParticleState],
-                 steps_per_frame: int):
+                 steps_per_frame: int, finalize=None):
     """Compile ``state -> state`` advancing ``steps_per_frame`` steps in one
-    ``lax.scan``. Donates the state buffer so the simulation runs in place."""
+    ``lax.scan``. Donates the state buffer so the simulation runs in place.
+    ``finalize`` (optional) runs once after the scan, inside the same jit —
+    lazy-diagnostics schemes materialize frame observables there."""
 
     @partial(jax.jit, donate_argnums=0)
     def run_frame(state: ParticleState) -> ParticleState:
         def body(s, _):
             return step_fn(s), None
         state, _ = jax.lax.scan(body, state, None, length=steps_per_frame)
-        return state
+        return state if finalize is None else finalize(state)
 
     return run_frame
 

@@ -133,8 +133,9 @@ def make_step(cfg: WitchConfig, engine):
         # positions are unchanged, so the rebuild is a no-op; we reuse nbrs.
 
         state = apply_unary(state, compute_pressure)
-        state = apply_unary(state, find_temperature)
-        state = apply_unary(state, find_pot_temp)
+        if not cfg.lazy_diagnostics:
+            state = apply_unary(state, find_temperature)
+            state = apply_unary(state, find_pot_temp)
 
         if use_pallas:
             dv0, dv1 = momentum_pass(engine, state, cfg)
@@ -148,6 +149,27 @@ def make_step(cfg: WitchConfig, engine):
     return step
 
 
+def make_finalize(cfg: WitchConfig):
+    """Materialize the lazy diagnostics (T, θ and their perturbations) —
+    applied once per frame by run loops when cfg.lazy_diagnostics."""
+    def find_temperature(u):
+        T = u.P / (cfg.R_mass * jnp.maximum(u.rho, cfg.rho_floor))
+        return {"T": T, "T_p": T - u.T_bg}
+
+    def find_pot_temp(u):
+        theta = u.T * ((cfg.T_bg * cfg.R_gas * cfg.rho0) / jnp.maximum(
+            u.P, cfg.P_floor)) ** (2.0 / 7.0)
+        theta_bg = background_pot_temperature_j(cfg, u.x[:, 1])
+        return {"theta": theta, "theta_bg": theta_bg,
+                "theta_p": theta - theta_bg}
+
+    def finalize(state):
+        state = apply_unary(state, find_temperature)
+        return apply_unary(state, find_pot_temp)
+
+    return finalize
+
+
 EXPORT_VARS = ("v", "rho", "P", "theta", "T", "type")  # (:18)
 
 
@@ -155,13 +177,16 @@ def run(cfg: WitchConfig = WitchConfig(), out_path: str | None = None,
         verbose: bool = False):
     """main() loop (:356-407): frames every t_end/n_frames with avg/max
     velocity diagnostics; PVD output of (:v, :ρ, :P, :θ, :T, :type)."""
-    return _run_witch_scheme(cfg, make_system, make_step, EXPORT_VARS,
-                             out_path, verbose)
+    return _run_witch_scheme(
+        cfg, make_system, make_step, EXPORT_VARS, out_path, verbose,
+        finalize=make_finalize(cfg) if cfg.lazy_diagnostics else None)
 
 
 def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
-                      out_path=None, verbose=False, setup=None):
-    """Shared main() skeleton of all witch schemes (SURVEY §2.2)."""
+                      out_path=None, verbose=False, setup=None,
+                      finalize=None):
+    """Shared main() skeleton of all witch schemes (SURVEY §2.2).
+    ``finalize`` (lazy-diagnostics schemes) runs inside the per-frame jit."""
     from ..io import new_pvd_file, save_frame, save_pvd_file
 
     sys = make_system_fn(cfg)
@@ -172,7 +197,7 @@ def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
 
     n_steps = int(round(cfg.t_end / cfg.dt))
     steps_per_frame = max(1, int(round(cfg.t_end / cfg.n_frames / cfg.dt)))
-    run_frame = frame_runner(step, steps_per_frame)
+    run_frame = frame_runner(step, steps_per_frame, finalize=finalize)
     diag = jax.jit(velocity_diagnostics)
 
     out = new_pvd_file(out_path) if out_path else None

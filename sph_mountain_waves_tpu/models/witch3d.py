@@ -241,8 +241,9 @@ def make_step(cfg: Witch3DConfig, engine):
         state = apply_unary(state, update_smoothing)
 
         state = apply_unary(state, compute_pressure)
-        state = apply_unary(state, find_temperature)
-        state = apply_unary(state, find_pot_temp)
+        if not cfg.lazy_diagnostics:
+            state = apply_unary(state, find_temperature)
+            state = apply_unary(state, find_pot_temp)
 
         if use_pallas:
             dvs = momentum_pass(engine, state, cfg)
@@ -256,8 +257,30 @@ def make_step(cfg: Witch3DConfig, engine):
     return step
 
 
+def make_finalize(cfg: Witch3DConfig):
+    """Materialize the lazy diagnostics (T, θ), vertical = z (axis 2)."""
+    def find_temperature(u):
+        T = u.P / (cfg.R_mass * jnp.maximum(u.rho, cfg.rho_floor))
+        return {"T": T, "T_p": T - u.T_bg}
+
+    def find_pot_temp(u):
+        theta = u.T * ((cfg.T_bg * cfg.R_gas * cfg.rho0) / jnp.maximum(
+            u.P, cfg.P_floor)) ** (2.0 / 7.0)
+        theta_bg = background_pot_temperature_j(cfg, u.x[:, 2])
+        return {"theta": theta, "theta_bg": theta_bg,
+                "theta_p": theta - theta_bg}
+
+    def finalize(state):
+        state = apply_unary(state, find_temperature)
+        return apply_unary(state, find_pot_temp)
+
+    return finalize
+
+
 def run(cfg: Witch3DConfig = Witch3DConfig(), out_path: str | None = None,
         verbose: bool = False):
     """main() loop (wcsph_perturbed_witch.jl:356-407) on the 3-D system."""
-    return _run_witch_scheme(cfg, make_system, make_step, EXPORT_VARS,
-                             out_path, verbose, setup=setup)
+    return _run_witch_scheme(
+        cfg, make_system, make_step, EXPORT_VARS, out_path, verbose,
+        setup=setup,
+        finalize=make_finalize(cfg) if cfg.lazy_diagnostics else None)

@@ -77,6 +77,12 @@ class WitchConfig:
     # (requires layout="bucket"; ~2x over the XLA cell-dense path by
     # skipping empty bucket slots with dynamic trip counts)
     use_pallas: bool = False
+    # T/θ are pure diagnostics — nothing in the dynamics reads them (momentum
+    # uses P/P′/ρ only). The reference recomputes them every step
+    # (find_temperature!/find_pot_temp!, wcsph_perturbed_witch.jl:313-315);
+    # with lazy_diagnostics=True they materialize once per frame instead
+    # (run loops apply the scheme's finalize), trajectories bitwise identical.
+    lazy_diagnostics: bool = False
 
     @property
     def dr(self) -> float:

@@ -33,7 +33,10 @@ def test_collapse_dry_short():
 
 @pytest.mark.slow
 def test_collapse_dry_vs_violeau():
-    cfg = cd.Config(dr=0.03, t_end=1.2, n_frames=40)
+    # measured (r2, deterministic f64 CPU): max_err 0.0110, mean 0.0030 at
+    # dr=0.02 — the few-percent regime of the reference's own plots
+    # (collapse_dry.jl:233-247); gate with ~40% margin
+    cfg = cd.Config(dr=0.02, t_end=1.2, n_frames=40)
     out = cd.run(cfg)
     ref = np.genfromtxt(os.path.join(DATA, "dambreak_X_Violeau.csv"),
                         delimiter=",", names=True)
@@ -42,4 +45,5 @@ def test_collapse_dry_vs_violeau():
     sel = ref["time"] <= tmax
     ours = np.interp(ref["time"][sel], out["t"], out["X"])
     err = np.abs(ours - ref["X"][sel]) / ref["X"][sel]
-    assert np.max(err) < 0.12  # coarse run vs digitized sim data
+    assert np.max(err) < 0.016
+    assert np.mean(err) < 0.005

@@ -75,3 +75,27 @@ def test_run_loop_diagnostics():
     assert len(out["u_avg"]) >= 2
     assert np.isfinite(out["u_avg"]).all() and np.isfinite(out["u_max"]).all()
     assert (out["u_max"] >= out["u_avg"]).all()
+
+
+def test_lazy_diagnostics_identical():
+    """lazy_diagnostics skips the per-step T/θ unaries; after the per-frame
+    finalize, every field must be bitwise identical to the eager run."""
+    import jax
+    import jax.numpy as jnp
+
+    states = {}
+    for lazy in (False, True):
+        cfg = WitchConfig(n_rows=12, dtype="float32", self_density=True,
+                          layout="bucket", skin=0.2, lazy_diagnostics=lazy)
+        sys = w.make_system(cfg)
+        st = sys.freeze()
+        step = jax.jit(w.make_step(cfg, sys.engine))
+        for _ in range(8):
+            st = step(st)
+        if lazy:
+            st = jax.jit(w.make_finalize(cfg))(st)
+        states[lazy] = st
+    for f in ("x", "v", "rho", "P", "T", "theta", "T_p", "theta_p"):
+        a = np.asarray(states[False].fields[f])
+        b = np.asarray(states[True].fields[f])
+        assert np.array_equal(a, b), f
