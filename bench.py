@@ -35,7 +35,12 @@ NORTH_STAR = 1e8  # particle-steps/s/chip at 1M (BASELINE.json)
 def parse_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=float, default=1e6)
-    ap.add_argument("--steps", type=int, default=20)
+    # 100 steps per timed scan: the axon tunnel costs ~30 ms per
+    # dispatch+sync round trip, which at 20 steps inflates the per-step
+    # time by ~1.5 ms (~25%!). Production frames run hundreds of steps
+    # per scan; 100 amortizes the fixed host latency to noise while
+    # keeping a timed repeat under a second at 1M.
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skin", type=float, default=0.15)
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,

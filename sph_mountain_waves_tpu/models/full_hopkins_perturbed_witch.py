@@ -19,8 +19,8 @@ from ..ops.apply import apply_binary, apply_unary
 from ..structs import ParticleState, ParticleSystem
 from .witch_common import (
     FLUID, WitchConfig, background_density_j, background_entropy,
-    background_entropy_j, background_pot_temperature_j, background_pressure_j,
-    make_witch_system, monaghan_viscosity, rayleigh_damping,
+    background_pot_temperature_j, make_witch_system, monaghan_viscosity,
+    rayleigh_damping,
 )
 from . import wcsph_perturbed_witch as _wcsph
 from . import hopkins_perturbed_witch as _hopkins
@@ -62,9 +62,12 @@ def make_step(cfg: WitchConfig, engine):
 
     def finalize_pressure(u):
         P = u.P ** cfg.gamma
-        P_bg = background_pressure_j(cfg, u.x[:, 1])
+        # isothermal background: P_bg = R·T_bg·ρ_bg and A_bg = P_bg/ρ_bg^γ
+        # reuse finalize_density's fresh ρ_bg — bitwise equal to
+        # background_pressure_j / background_entropy_j on u.x[:, 1]
+        P_bg = cfg.R_mass * cfg.T_bg * u.rho_bg
         return {"P": P, "P_bg": P_bg, "P_p": P - P_bg,
-                "A_bg": background_entropy_j(cfg, u.x[:, 1])}
+                "A_bg": P_bg / u.rho_bg ** cfg.gamma}
 
     def find_temperature(u):
         T = u.P / (cfg.R_mass * u.rho)

@@ -19,8 +19,7 @@ from ..ops.apply import apply_binary, apply_unary
 from ..structs import ParticleState, ParticleSystem
 from .witch_common import (
     FLUID, WitchConfig, background_density_j, background_pot_temperature_j,
-    background_pressure_j, make_witch_system, monaghan_viscosity,
-    rayleigh_damping,
+    make_witch_system, monaghan_viscosity, rayleigh_damping,
 )
 from . import wcsph_perturbed_witch as _wcsph
 
@@ -61,7 +60,9 @@ def make_step(cfg: WitchConfig, engine):
 
     def finalize_pressure(u):
         P = u.P ** cfg.gamma  # (:210-214)
-        P_bg = background_pressure_j(cfg, u.x[:, 1])
+        # P_bg = R·T_bg·ρ_bg (isothermal): reuse finalize_density's fresh
+        # ρ_bg — bitwise equal to background_pressure_j(cfg, y)
+        P_bg = cfg.R_mass * cfg.T_bg * u.rho_bg
         return {"P": P, "P_bg": P_bg, "P_p": P - P_bg}
 
     def find_temperature(u):

@@ -27,8 +27,7 @@ from ..structs import ParticleState, ParticleSystem
 from .common import frame_runner
 from .witch_common import (
     FLUID, WitchConfig, background_density_j, background_pot_temperature_j,
-    background_pressure_j, make_witch_system, rayleigh_damping,
-    velocity_diagnostics,
+    make_witch_system, rayleigh_damping, velocity_diagnostics,
 )
 
 FIELDS = {"h": 0, "x": 2, "m": 0, "v": 2, "Dv": 2,
@@ -61,9 +60,12 @@ def make_step(cfg: WitchConfig, engine):
         return {"h": cfg.eta * jnp.sqrt(u.m / rho)}  # (:235-238)
 
     def compute_pressure(u):
-        P_bg = background_pressure_j(cfg, u.x[:, 1])
+        # P_bg = R·T_bg·ρ_bg (isothermal): reuse finalize_density's fresh
+        # ρ_bg instead of re-evaluating the background exp — bitwise equal
+        # to background_pressure_j(cfg, y) (:195-199)
+        P_bg = cfg.R_mass * cfg.T_bg * u.rho_bg
         P_p = cfg.c**2 * u.rho_p
-        return {"P_bg": P_bg, "P_p": P_p, "P": P_bg + P_p}  # (:195-199)
+        return {"P_bg": P_bg, "P_p": P_p, "P": P_bg + P_p}
 
     def find_temperature(u):
         T = u.P / (cfg.R_mass * u.rho)

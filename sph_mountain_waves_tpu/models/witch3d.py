@@ -38,8 +38,7 @@ from .wcsph_perturbed_witch import EXPORT_VARS, _run_witch_scheme
 from .witch_common import (
     FLUID, WALL, WitchConfig, background_density, background_density_j,
     background_pot_temperature, background_pot_temperature_j,
-    background_pressure, background_pressure_j, rayleigh_damping,
-    witch_profile,
+    background_pressure, rayleigh_damping, witch_profile,
 )
 
 FIELDS = {"h": 0, "x": 3, "m": 0, "v": 3, "Dv": 3,
@@ -67,12 +66,21 @@ class Witch3DConfig(WitchConfig):
 
 
 def stretch_config(**overrides) -> Witch3DConfig:
-    """The BASELINE stretch sizing: ~2.1M fluid particles (n_rows=40 ->
+    """The BASELINE stretch sizing: 2M+ fluid particles (n_rows=40 ->
     dr=650 m over 400 km x 56 km x 26 km), float32, bucket layout + Pallas,
     skin for deferred rescatters. Shard over 8 chips with
-    parallel/bucket.py."""
+    parallel/bucket.py.
+
+    skin = 1/9 makes the bucket cell width EXACTLY 2·dr
+    (cell = (1+skin)·h0 = (10/9)·1.8·dr): every cell then holds exactly
+    2 cubic-lattice planes per axis = 8 particles, uniformly. Any other
+    ratio aliases against the lattice — at skin 0.15 (cell = 2.07·dr) the
+    ~7%/axis of cells that catch a 3rd lattice plane produce occupancy
+    3^3 = 27 -> cap 40, i.e. ~5x the slot memory and ~2.7x the pair-sweep
+    work of the aligned choice (occ 8 -> cap 16). Measured on v5e: the
+    misaligned 3.2M-particle build OOMs; the aligned one runs."""
     kw = dict(n_rows=40, dtype="float32", self_density=True,
-              layout="bucket", skin=0.15, use_pallas=True)
+              layout="bucket", skin=1.0 / 9.0, use_pallas=True)
     kw.update(overrides)
     return Witch3DConfig(**kw)
 
@@ -173,9 +181,11 @@ def make_step(cfg: Witch3DConfig, engine):
         return {"h": cfg.eta * jnp.cbrt(u.m / rho)}
 
     def compute_pressure(u):
-        P_bg = background_pressure_j(cfg, u.x[:, 2])
+        # P_bg = R·T_bg·ρ_bg (isothermal): reuse finalize_density's fresh
+        # ρ_bg — bitwise equal to background_pressure_j(cfg, z) (:195-199)
+        P_bg = cfg.R_mass * cfg.T_bg * u.rho_bg
         P_p = cfg.c**2 * u.rho_p
-        return {"P_bg": P_bg, "P_p": P_p, "P": P_bg + P_p}  # (:195-199)
+        return {"P_bg": P_bg, "P_p": P_p, "P": P_bg + P_p}
 
     def find_temperature(u):
         T = u.P / (cfg.R_mass * jnp.maximum(u.rho, cfg.rho_floor))

@@ -469,7 +469,8 @@ class BucketShardEngine:
         budget = (0.5 * eng.skin * eng.h) ** 2
         need = jax.lax.pmax(jnp.max(d2), self.axis) > budget  # collective
 
-        zero = jax.lax.pvary(jnp.zeros((), jnp.int32), self.axis)
+        zero = jax.lax.pcast(jnp.zeros((), jnp.int32), self.axis,
+                             to="varying")
         state, overflow = jax.lax.cond(
             need,
             self._rescatter,

@@ -120,3 +120,7 @@ def test_stretch_config_sizing():
         * (cfg.dom_height / cfg.dr)
     assert n_fluid >= 2.0e6
     assert cfg.layout == "bucket" and cfg.use_pallas
+    # bucket cells must be EXACTLY 2 lattice spacings wide: any other ratio
+    # aliases against the cubic lattice (3 planes/axis in ~7% of cells ->
+    # occupancy 27 -> cap 40 -> ~5x slot memory, OOM at 3.2M on one v5e)
+    assert (1.0 + cfg.skin) * cfg.h0 == pytest.approx(2.0 * cfg.dr, rel=1e-12)
