@@ -66,10 +66,14 @@ def run_once(args, use_pallas: bool):
 
     # lazy_diagnostics: T/θ materialize once per frame (inside the timed
     # jit via finalize) instead of every step — trajectories identical
+    # lattice_cells: bucket cells sized to exact hex-lattice pitch (2a, 2b)
+    # -> occupancy uniformly 4, q-trip count 4 instead of 6 (the aliased
+    # isotropic grid catches a 3rd lattice row in some cells)
     cfg = WitchConfig(n_rows=n_rows, dtype="float32",
                       self_density=args.self_density,
                       layout="bucket", skin=args.skin,
-                      use_pallas=use_pallas, lazy_diagnostics=True)
+                      use_pallas=use_pallas, lazy_diagnostics=True,
+                      lattice_cells=True)
     sys_ = w.make_system(cfg)
     state = sys_.freeze()
     step = w.make_step(cfg, sys_.engine)

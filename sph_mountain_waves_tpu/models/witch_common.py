@@ -83,6 +83,18 @@ class WitchConfig:
     # with lazy_diagnostics=True they materialize once per frame instead
     # (run loops apply the scheme's finalize), trajectories bitwise identical.
     lazy_diagnostics: bool = False
+    # Size bucket cells to exact multiples of the hexagonal lattice pitch:
+    # cells = (2a, 2b) with a=(4/3)^¼dr columns, b=(3/4)^¼dr rows, so every
+    # interior cell holds exactly 2 lattice columns × 2 rows = 4 particles.
+    # Misaligned (isotropic skin) cells catch a 3rd lattice row in some
+    # cells — occupancy 6 over a mean of 4.27 — and pair-sweep work is
+    # provably ∝ kmax/o_avg, so alignment is worth ~1.4x on the pair passes.
+    # Requires 2b = 1.861·dr ≥ h (true for η=1.8 with self-density ρ≈ρ_bg;
+    # NOT for the reference-faithful no-self-density ρ→0.593ρ_bg fixed
+    # point, whose h grows to 2.34·dr — the engine asserts). Drift slack
+    # before a rescatter is (2b − h)/2 ≈ 0.03·dr: fine for the near-static
+    # mountain-wave flows, too tight for violent ones.
+    lattice_cells: bool = False
 
     @property
     def dr(self) -> float:
@@ -195,6 +207,17 @@ def make_witch_system(cfg: WitchConfig, fields: dict,
     sys = ParticleSystem(fields=fields, domain=domain + fence, h=cfg.h0,
                          dim=2, dtype=cfg.jdtype)
     sys.freeze_opts = {"layout": cfg.layout, "skin": cfg.skin}
+    if getattr(cfg, "lattice_cells", False):
+        # exact hex-pitch cells (see WitchConfig.lattice_cells). The 1e-6
+        # DOWNWARD nudge puts lattice points that sit exactly on a bin edge
+        # robustly ABOVE it (x/L = k(1+1e-6) for edge points), immune to f32
+        # position roundoff (~6e-8 relative); an upward nudge would drop
+        # every exact-edge row/column into the previous bin, tripling the
+        # first bin (measured: occupancy 8 at the origin cell).
+        a = (4.0 / 3.0) ** 0.25 * cfg.dr
+        b = (3.0 / 4.0) ** 0.25 * cfg.dr
+        sys.freeze_opts["cells"] = (2.0 * a * (1.0 - 1e-6),
+                                    2.0 * b * (1.0 - 1e-6))
     generate_particles(sys, grid, domain - mountain, lambda xs: {"type": FLUID})
     generate_particles(sys, grid, fence, lambda xs: {"type": WALL})
     generate_particles(sys, grid, mountain, lambda xs: {"type": FLUID})

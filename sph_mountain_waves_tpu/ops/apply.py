@@ -353,8 +353,10 @@ def point_sum(engine: NeighborEngine, state: ParticleState, nbrs: Neighbors,
     if xs.ndim == 1:
         xs = xs[None]
     h = jnp.asarray(engine.h, dtype=xs.dtype)
-    # bin with cell_size = (1+skin)·h, NOT h — cells are skin-widened
-    cell = (jnp.floor(xs / engine.cell_size).astype(jnp.int32)
+    # bin with the per-axis cell widths, NOT h — cells are skin-widened
+    # (and possibly lattice-aligned anisotropic)
+    cell = (jnp.floor(xs / jnp.asarray(engine.cell_size, xs.dtype))
+            .astype(jnp.int32)
             - jnp.asarray(engine.phase, dtype=jnp.int32))
     lims = jnp.asarray(engine.lims, dtype=jnp.int32)
     x = state.fields["x"]

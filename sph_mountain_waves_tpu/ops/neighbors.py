@@ -82,20 +82,34 @@ class NeighborEngine:
     # rescatter (the reference removes every step, src/core.jl:63-81).
     layout: str = "flat"
     skin: float = 0.0
+    # per-axis cell widths; () -> isotropic ((1+skin)·h per axis). Setting
+    # these to exact multiples of the particle-lattice pitch removes
+    # occupancy aliasing (cells catching an extra lattice row/plane), which
+    # is the ONLY lever on pair-sweep cost: work per particle is provably
+    # stencil·cap_pad·kmax/o_avg, invariant to cell size except through the
+    # cap/kmax quantization that aliasing inflates. Each width must be ≥ h
+    # (pair cutoff r ≤ h must stay inside the ±1-cell stencil).
+    cells: tuple = ()
 
     # ------------------------------------------------------------- creation
     @staticmethod
     def create(box, h: float, dim: int, positions: np.ndarray | None = None,
                cap: int | None = None, dtype=jnp.float32,
                pair_mode: str = "auto", layout: str = "flat",
-               skin: float = 0.0) -> "NeighborEngine":
+               skin: float = 0.0, cells: tuple | None = None
+               ) -> "NeighborEngine":
         """Build an engine for domain ``box`` and interaction radius h.
 
-        Key arithmetic matches reference src/structs.jl:66-68 (with cell size
-        (1+skin)·h): phase_a = floor(min_a/L), lim_a = floor(max_a/L) −
-        phase_a + 1.
+        Key arithmetic matches reference src/structs.jl:66-68 (with per-axis
+        cell size L_a, default (1+skin)·h): phase_a = floor(min_a/L_a),
+        lim_a = floor(max_a/L_a) − phase_a + 1.
         """
-        L = h * (1.0 + skin)
+        if cells is None or len(cells) == 0:
+            cells = (h * (1.0 + skin),) * dim
+        cells = tuple(float(c) for c in cells)
+        assert len(cells) == dim
+        assert all(c >= h for c in cells), (cells, h)
+        L = np.asarray(cells, dtype=np.float64)
         mins = np.asarray(box.mins[:dim], dtype=np.float64)
         maxs = np.asarray(box.maxs[:dim], dtype=np.float64)
         phase = np.floor(mins / L).astype(np.int64)
@@ -119,11 +133,22 @@ class NeighborEngine:
         return NeighborEngine(dim=dim, h=float(h), phase=tuple(int(p) for p in phase),
                               lims=tuple(int(l) for l in lims), cap=int(cap),
                               dtype=dtype, mins=tuple(mins), maxs=tuple(maxs),
-                              pair_mode=pair_mode, layout=layout, skin=float(skin))
+                              pair_mode=pair_mode, layout=layout,
+                              skin=float(skin), cells=cells)
 
     @property
-    def cell_size(self) -> float:
-        return self.h * (1.0 + self.skin)
+    def cell_size(self) -> tuple:
+        """Per-axis cell widths (length-dim tuple). Broadcasts against
+        [N, dim] position arrays; x-slab code uses cell_size[0]."""
+        if self.cells:
+            return self.cells
+        return (self.h * (1.0 + self.skin),) * self.dim
+
+    @property
+    def skin_slack(self) -> float:
+        """Drift budget before a rescatter is needed: the narrowest cell's
+        margin over the pair cutoff h (= skin·h for isotropic cells)."""
+        return min(self.cell_size) - self.h
 
     @property
     def slots(self) -> int:
@@ -131,10 +156,12 @@ class NeighborEngine:
         return self.cap * (self.num_cells + 1)
 
     @staticmethod
-    def _estimate_cap(positions, h, phase, lims, dim) -> int:
+    def _estimate_cap(positions, L, phase, lims, dim) -> int:
+        """Max bucket occupancy from POSITIONS binned at the per-axis cell
+        widths ``L`` ([dim] array), plus compression headroom."""
         if positions is None or len(positions) == 0:
             return 16
-        ci = np.floor(np.asarray(positions)[:, :dim] / h).astype(np.int64) - phase
+        ci = np.floor(np.asarray(positions)[:, :dim] / L).astype(np.int64) - phase
         ci = np.clip(ci, 0, np.asarray(lims) - 1)
         key = ci[:, 0]
         stride = lims[0]
@@ -201,7 +228,8 @@ class NeighborEngine:
         active = state.active & jnp.where(finite, inside, False)
 
         xsafe = jnp.where(finite[:, None], x, 0.0)
-        cell = (jnp.floor(xsafe / self.cell_size).astype(jnp.int32)
+        L = jnp.asarray(self.cell_size, dtype=x.dtype)
+        cell = (jnp.floor(xsafe / L).astype(jnp.int32)
                 - jnp.asarray(self.phase, dtype=jnp.int32))
         cell = jnp.clip(cell, 0, jnp.asarray(self.lims, dtype=jnp.int32) - 1)
         key = jnp.where(active, self.flat_key(cell), self.num_cells).astype(jnp.int32)
@@ -273,7 +301,7 @@ class NeighborEngine:
         d2 = jnp.sum((x - state.fields["_xref"]) ** 2, axis=-1)
         d2 = jnp.nan_to_num(jnp.where(state.active, d2, 0.0), nan=jnp.inf,
                             posinf=jnp.inf)
-        budget = (0.5 * self.skin * self.h) ** 2
+        budget = (0.5 * self.skin_slack) ** 2
         need = jnp.max(d2) > budget
         state, overflow = jax.lax.cond(
             need, self._full_rescatter,

@@ -130,32 +130,55 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
             jy = t % ny
             jz = t // ny
 
-        # DMA the row-window of every field: flat padded columns
-        # [row*nx, row*nx + nx + 2·HALO)
+        # Double-buffered row-window DMA: each buffer is [2, cap, W]; grid
+        # step t computes from slot t%2 (issued by step t-1) while issuing
+        # step t+1's windows into slot (t+1)%2 — the HBM streaming of the
+        # next row overlaps this row's VPU sweep. Grid rows execute
+        # sequentially on the core, so slot (t+1)%2 was last read at step
+        # t-1 and is free for reuse. Window = flat padded columns
+        # [row*nx, row*nx + nx + 2·HALO).
         W = nx + 2 * HALO
-        for fi in range(n_in):
-            for w, off in enumerate(wins):
-                row = jnp.clip(jy + off[0] - 1, 0, ny - 1)
-                if dim == 3:
-                    rz = jnp.clip(jz + off[1] - 1, 0, engine.lims[2] - 1)
-                    row = row + ny * rz
-                start = pl.multiple_of(row * nx, 128)
-                pltpu.make_async_copy(
-                    in_refs[fi].at[:, pl.ds(start, W)],
-                    bufs[fi * nw + w],
-                    sems.at[fi, w],
-                ).start()
+        cur = t % 2
+        nxt = (t + 1) % 2
+
+        def issue(tt, slot):
+            if dim == 2:
+                jy2, jz2 = tt, None
+            else:
+                jy2 = tt % ny
+                jz2 = tt // ny
+            for fi in range(n_in):
+                for w, off in enumerate(wins):
+                    row = jnp.clip(jy2 + off[0] - 1, 0, ny - 1)
+                    if dim == 3:
+                        rz = jnp.clip(jz2 + off[1] - 1, 0,
+                                      engine.lims[2] - 1)
+                        row = row + ny * rz
+                    start = pl.multiple_of(row * nx, 128)
+                    pltpu.make_async_copy(
+                        in_refs[fi].at[:, pl.ds(start, W)],
+                        bufs[fi * nw + w].at[slot],
+                        sems.at[slot, fi, w],
+                    ).start()
+
+        @pl.when(t == 0)
+        def _():
+            issue(t, cur)
+        @pl.when(t + 1 < R)
+        def _():
+            issue(t + 1, nxt)
         for fi in range(n_in):
             for w in range(nw):
                 pltpu.make_async_copy(
                     in_refs[fi].at[:, pl.ds(0, W)],  # shape-only handle
-                    bufs[fi * nw + w],
-                    sems.at[fi, w],
+                    bufs[fi * nw + w].at[cur],
+                    sems.at[cur, fi, w],
                 ).wait()
 
         # p-side center row (occ is field 0, x-coords fields 1..dim)
         wc = wins.index((1,) if dim == 2 else (1, 1))
-        p_all = [bufs[fi * nw + wc][:, HALO:HALO + nx] for fi in range(n_in)]
+        p_all = [bufs[fi * nw + wc][cur, :, HALO:HALO + nx]
+                 for fi in range(n_in)]
 
         kmax = kmax_ref[t]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, nx), 0)
@@ -178,7 +201,7 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
                             jnp.logical_and(jz + off[1] - 1 >= 0,
                                             jz + off[1] - 1 < engine.lims[2]))
                     for di in range(3):
-                        q_all = [bufs[fi * nw + w][kq,
+                        q_all = [bufs[fi * nw + w][cur, kq,
                                  HALO - 1 + di:HALO - 1 + di + nx]
                                  for fi in range(n_in)]
                         occ_q = (q_all[0] > 0.5) & rowvalid
@@ -228,10 +251,10 @@ def _run_pair_kernel(engine, state, fields, pair_body, n_out, self_pair,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
         out_specs=[pl.BlockSpec((cap_pad, nx), lambda t, kmax, kmaxp: (0, t),
                                 memory_space=pltpu.VMEM)] * n_out,
-        scratch_shapes=[pltpu.VMEM((cap_pad, nx + 2 * HALO), jnp.float32)
+        scratch_shapes=[pltpu.VMEM((2, cap_pad, nx + 2 * HALO), jnp.float32)
                         for _ in range(nw * n_in)]
         + [pltpu.VMEM((cap_pad, nx), jnp.float32) for _ in range(n_out)]
-        + [pltpu.SemaphoreType.DMA((n_in, nw))],
+        + [pltpu.SemaphoreType.DMA((2, n_in, nw))],
     )
     outs = pl.pallas_call(
         kernel,

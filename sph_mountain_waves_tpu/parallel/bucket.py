@@ -82,14 +82,14 @@ class BucketDomainSharding:
         distributed rebuild); everything static (lims, stencil, resident
         views, Pallas row windows) runs on the local grid."""
         g = self.engine
-        L = g.cell_size
+        L = g.cell_size[0]
         mins = (0.0,) + tuple(g.mins[1:])
         maxs = ((self.slab_w + 2 * GHOST) * L,) + tuple(g.maxs[1:])
         return NeighborEngine(
             dim=g.dim, h=g.h, phase=(0,) + tuple(g.phase[1:]),
             lims=self.local_lims, cap=g.cap, dtype=g.dtype,
             mins=mins, maxs=maxs, pair_mode="cell", layout="bucket",
-            skin=g.skin)
+            skin=g.skin, cells=g.cell_size)
 
     @property
     def slots_local(self) -> int:
@@ -466,7 +466,7 @@ class BucketShardEngine:
         d2 = jnp.sum((x - state.fields["_xref"]) ** 2, axis=-1)
         d2 = jnp.nan_to_num(jnp.where(state.active & owned_flat, d2, 0.0),
                             nan=jnp.inf, posinf=jnp.inf)
-        budget = (0.5 * eng.skin * eng.h) ** 2
+        budget = (0.5 * eng.skin_slack) ** 2
         need = jax.lax.pmax(jnp.max(d2), self.axis) > budget  # collective
 
         zero = jax.lax.pcast(jnp.zeros((), jnp.int32), self.axis,

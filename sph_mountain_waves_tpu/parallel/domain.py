@@ -76,7 +76,7 @@ def shard_state(ds: DomainSharding, state: ParticleState, mesh: Mesh) -> Particl
     eng = ds.engine
     x = np.asarray(state.fields["x"])
     active = np.asarray(state.active)
-    cx = np.floor(x[:, 0] / eng.cell_size).astype(np.int64) - eng.phase[0]
+    cx = np.floor(x[:, 0] / eng.cell_size[0]).astype(np.int64) - eng.phase[0]
     cx = np.clip(cx, 0, eng.lims[0] - 1)
     dev = np.clip(cx // ds.slab_width, 0, ds.n_dev - 1)
 
@@ -187,7 +187,7 @@ class ShardEngine:
         hi = jnp.minimum(lo + ds.slab_width, eng.lims[0])
 
         x = state.fields["x"]
-        cx = (jnp.floor(x[:, 0] / eng.cell_size).astype(jnp.int32)
+        cx = (jnp.floor(x[:, 0] / eng.cell_size[0]).astype(jnp.int32)
               - jnp.int32(eng.phase[0]))
         cx = jnp.clip(cx, 0, eng.lims[0] - 1)
         owned = state.fields[OWNED] > 0.5
@@ -231,7 +231,7 @@ class ShardEngine:
 
         # recompute cx for migrated-in rows
         x = state.fields["x"]
-        cx = (jnp.floor(x[:, 0] / eng.cell_size).astype(jnp.int32)
+        cx = (jnp.floor(x[:, 0] / eng.cell_size[0]).astype(jnp.int32)
               - jnp.int32(eng.phase[0]))
         cx = jnp.clip(cx, 0, eng.lims[0] - 1)
 

@@ -30,7 +30,7 @@ def build_domain_sharding(sys, n_dev: int, halo: int | None = None,
     eng = sys.engine
     slab_w = -(-eng.lims[0] // n_dev)
     x = sys.host_fields()["x"]
-    cx = np.clip(np.floor(x[:, 0] / eng.cell_size).astype(np.int64)
+    cx = np.clip(np.floor(x[:, 0] / eng.cell_size[0]).astype(np.int64)
                  - eng.phase[0], 0, eng.lims[0] - 1)
     slab = np.clip(cx // slab_w, 0, n_dev - 1)
     max_occ = int(np.bincount(slab, minlength=n_dev).max()) if len(x) else 1

@@ -172,7 +172,7 @@ def test_point_sum_with_skin():
         sys, state, x, m = make_cloud(200, 2, 1.0, 0.2, seed=5)
         state = sys.freeze(layout=layout, skin=0.5)
         eng = sys.engine
-        assert eng.cell_size > eng.h
+        assert all(c > eng.h for c in eng.cell_size)
         state2, nbrs = eng.rebuild(state)
         probes = np.array([[0.5, 0.5], [0.1, 0.9], [0.33, 0.66], [0.95, 0.05]])
         got = np.asarray(point_sum(eng, state2, nbrs,
@@ -274,3 +274,33 @@ def test_bcoo_matches_dense_assembly():
     want = np.asarray(assemble_matvec(eng, state2, nbrs, coeff)(v))
     # BCOO rows for inactive p are already zero (mask), so no row filter
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-14)
+
+
+@pytest.mark.parametrize("layout", ["flat", "bucket"])
+def test_anisotropic_cells_match_bruteforce(layout):
+    """Per-axis (lattice-aligned) cell widths must produce exactly the same
+    pair set as isotropic cells — the r <= h cutoff is cell-independent as
+    long as every width >= h (the ±1-cell stencil then covers the support)."""
+    n, box_hi, h = 300, 1.0, 0.21
+    sys, state, x, m = make_cloud(n, 2, box_hi, h, seed=11)
+    state = sys.freeze(layout=layout, cells=(0.23, 0.29))
+    eng = sys.engine
+    assert eng.cell_size == (0.23, 0.29)
+    assert eng.skin_slack == pytest.approx(0.02)
+    state2, nbrs = eng.rebuild(state)
+    assert int(nbrs.overflow) == 0
+
+    def fn(p, q, r):
+        return q.m * (1.0 + r)
+
+    got = np.asarray(pair_sum(eng, state2, nbrs, fn))
+    xs = np.asarray(state2.fields["x"])
+    act = np.asarray(state2.active)
+    idx_m = {tuple(np.round(row, 12)): mi for row, mi in zip(x, m)}
+
+    def w(xi, xj, r):
+        return idx_m[tuple(np.round(xj, 12))] * (1.0 + r)
+
+    want = brute_force_sums(xs, act, h, w)
+    sel = np.asarray(state2.active)
+    np.testing.assert_allclose(got[sel], want[sel], rtol=1e-12)
