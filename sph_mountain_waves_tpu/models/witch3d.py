@@ -71,16 +71,19 @@ def stretch_config(**overrides) -> Witch3DConfig:
     skin for deferred rescatters. Shard over 8 chips with
     parallel/bucket.py.
 
-    skin = 1/9 makes the bucket cell width EXACTLY 2·dr
-    (cell = (1+skin)·h0 = (10/9)·1.8·dr): every cell then holds exactly
-    2 cubic-lattice planes per axis = 8 particles, uniformly. Any other
-    ratio aliases against the lattice — at skin 0.15 (cell = 2.07·dr) the
-    ~7%/axis of cells that catch a 3rd lattice plane produce occupancy
-    3^3 = 27 -> cap 40, i.e. ~5x the slot memory and ~2.7x the pair-sweep
-    work of the aligned choice (occ 8 -> cap 16). Measured on v5e: the
-    misaligned 3.2M-particle build OOMs; the aligned one runs."""
+    lattice_cells sizes bucket cells to EXACTLY 2·dr (minus the 1e-6 edge
+    nudge): every cell then holds exactly 2 cubic-lattice planes per axis
+    = 8 particles, uniformly. Any other ratio aliases against the lattice
+    — at skin 0.15 (cell = 2.07·dr) the ~7%/axis of cells that catch a
+    3rd lattice plane produce occupancy 3^3 = 27 -> cap 40, i.e. ~5x the
+    slot memory and ~2.7x the pair-sweep work of the aligned choice
+    (occ 8 -> cap 16). Measured on v5e: the misaligned 3.2M-particle
+    build OOMs; the aligned one runs. For provably-static runs,
+    bucket_cap=8 (zero headroom, overflow surfaced) halves the sweep
+    again."""
     kw = dict(n_rows=40, dtype="float32", self_density=True,
-              layout="bucket", skin=1.0 / 9.0, use_pallas=True)
+              layout="bucket", skin=1.0 / 9.0, use_pallas=True,
+              lattice_cells=True)
     kw.update(overrides)
     return Witch3DConfig(**kw)
 
@@ -99,6 +102,16 @@ def make_system(cfg: Witch3DConfig) -> ParticleSystem:
     sys = ParticleSystem(fields=FIELDS, domain=domain + fence, h=cfg.h0,
                          dim=3, dtype=cfg.jdtype)
     sys.freeze_opts = {"layout": cfg.layout, "skin": cfg.skin}
+    if cfg.bucket_cap:
+        sys.freeze_opts["cap"] = cfg.bucket_cap
+    if cfg.lattice_cells:
+        # cubic-lattice pitch: cells exactly 2·dr with the 1e-6 DOWNWARD
+        # nudge (see WitchConfig.lattice_cells / make_witch_system): when
+        # dr is not exactly representable (e.g. 26000/12), lattice points
+        # sitting on bin edges otherwise flip bins per-point by float
+        # rounding — measured occupancy 27 spikes and 22% overflow drops
+        # at cap 8. Nudged: occupancy uniformly 8.
+        sys.freeze_opts["cells"] = (2.0 * cfg.dr * (1.0 - 1e-6),) * 3
     generate_particles(sys, grid, domain - mountain, lambda xs: {"type": FLUID})
     generate_particles(sys, grid, fence, lambda xs: {"type": WALL})
     generate_particles(sys, grid, mountain, lambda xs: {"type": FLUID})

@@ -95,6 +95,14 @@ class WitchConfig:
     # before a rescatter is (2b − h)/2 ≈ 0.03·dr: fine for the near-static
     # mountain-wave flows, too tight for violent ones.
     lattice_cells: bool = False
+    # Bucket-capacity override. None -> measured occupancy + ~25% headroom
+    # rounded to the 8-row VPU tile (NeighborEngine._estimate_cap). Every
+    # 8-row tile of cap multiplies the whole pair-sweep cost, so for runs
+    # whose occupancy provably never exceeds the initial lattice packing
+    # (static atmospheres), cap = exact occupancy halves the step when the
+    # estimate lands one tile higher. Overflow stays observable: rescatter
+    # drops are counted in Neighbors.overflow — watch it when using this.
+    bucket_cap: int | None = None
 
     @property
     def dr(self) -> float:
@@ -207,6 +215,8 @@ def make_witch_system(cfg: WitchConfig, fields: dict,
     sys = ParticleSystem(fields=fields, domain=domain + fence, h=cfg.h0,
                          dim=2, dtype=cfg.jdtype)
     sys.freeze_opts = {"layout": cfg.layout, "skin": cfg.skin}
+    if getattr(cfg, "bucket_cap", None):
+        sys.freeze_opts["cap"] = cfg.bucket_cap
     if getattr(cfg, "lattice_cells", False):
         # exact hex-pitch cells (see WitchConfig.lattice_cells). The 1e-6
         # DOWNWARD nudge puts lattice points that sit exactly on a bin edge

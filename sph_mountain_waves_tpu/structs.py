@@ -170,6 +170,10 @@ class ParticleSystem:
             capacity = opts.pop("capacity", None)
         else:
             opts.pop("capacity", None)
+        if cap is None:
+            cap = opts.pop("cap", None)
+        else:
+            opts.pop("cap", None)
         if engine is None:
             engine = NeighborEngine.create(
                 box=self.domain, h=self.h, dim=self.dim,

@@ -123,4 +123,21 @@ def test_stretch_config_sizing():
     # bucket cells must be EXACTLY 2 lattice spacings wide: any other ratio
     # aliases against the cubic lattice (3 planes/axis in ~7% of cells ->
     # occupancy 27 -> cap 40 -> ~5x slot memory, OOM at 3.2M on one v5e)
-    assert (1.0 + cfg.skin) * cfg.h0 == pytest.approx(2.0 * cfg.dr, rel=1e-12)
+    assert cfg.lattice_cells
+    # n_rows=12 -> dr=26000/12 is NOT exactly representable: the regression
+    # case for per-point bin-edge flips (22% overflow drops un-nudged)
+    cfg12 = w3.stretch_config(**{**TINY, "n_rows": 12})
+    sys = w3.make_system(cfg12)
+    cells = sys.freeze_opts["cells"]
+    assert all(c == pytest.approx(2.0 * cfg12.dr, rel=1e-5) for c in cells)
+    # the 1e-6 DOWNWARD nudge: edge points must land robustly above edges
+    assert all(c < 2.0 * cfg12.dr for c in cells)
+    import numpy as np
+    pos = sys.host_fields()["x"]
+    st = sys.freeze()
+    eng = sys.engine
+    ci = np.clip(np.floor(pos / np.asarray(eng.cell_size)).astype(np.int64)
+                 - np.asarray(eng.phase), 0, np.asarray(eng.lims) - 1)
+    key = ci[:, 0] + eng.lims[0] * (ci[:, 1] + eng.lims[1] * ci[:, 2])
+    occ = np.bincount(key)
+    assert occ.max() <= 8, occ.max()
