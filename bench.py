@@ -47,6 +47,11 @@ def parse_args(argv=None):
                     default=True)
     ap.add_argument("--self-density", action=argparse.BooleanOptionalAction,
                     default=True, dest="self_density")
+    ap.add_argument("--fast-math", action=argparse.BooleanOptionalAction,
+                    default=True, dest="fast_math",
+                    help="approximate VPU reciprocals in the momentum pair "
+                         "body (measured 2.7e-6 rel error on u_max after "
+                         "200 steps at 1M — BENCHMARKS.md)")
     ap.add_argument("--force-cpu", action="store_true",
                     help="run on the local CPU backend (fallback mode)")
     return ap.parse_args(argv)
@@ -73,7 +78,7 @@ def run_once(args, use_pallas: bool):
                       self_density=args.self_density,
                       layout="bucket", skin=args.skin,
                       use_pallas=use_pallas, lazy_diagnostics=True,
-                      lattice_cells=True)
+                      lattice_cells=True, fast_math=args.fast_math)
     sys_ = w.make_system(cfg)
     state = sys_.freeze()
     step = w.make_step(cfg, sys_.engine)

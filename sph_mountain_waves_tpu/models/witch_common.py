@@ -103,6 +103,13 @@ class WitchConfig:
     # estimate lands one tile higher. Overflow stays observable: rescatter
     # drops are counted in Neighbors.overflow — watch it when using this.
     bucket_cap: int | None = None
+    # Approximate VPU reciprocals (pl.reciprocal(approx=True)) for the three
+    # divides in the Monaghan momentum body (1/h_ij, the mu_ij denominator,
+    # 1/rho_ij). The reference runs the whole pair loop under @fastmath
+    # (src/kernels.jl, src/current/*.jl) so this is within its own accuracy
+    # contract; gated at rtol 1e-3 vs the exact path in
+    # tests/test_trajectory_fidelity.py.
+    fast_math: bool = False
 
     @property
     def dr(self) -> float:

@@ -356,6 +356,19 @@ def _rdw_const(dim):
     return -44.563384065730695 if dim == 2 else -66.84507609859604
 
 
+def _div_fn(cfg, interpret):
+    """Division for pair bodies. Default: the exact VPU divide. With
+    cfg.fast_math: multiply by the approximate-reciprocal instruction
+    (pl.reciprocal(approx=True)). Interpret mode evaluates the approx
+    reciprocal exactly, so CPU gates check the wiring at f32-roundoff
+    tolerance (the residual is one extra rounding of multiply-by-inverse);
+    the hardware-approximation error is measured on-device (BENCHMARKS.md)."""
+    del interpret
+    if getattr(cfg, "fast_math", False):
+        return lambda a, b: a * pl.reciprocal(b, approx=True)
+    return lambda a, b: a / b
+
+
 def momentum_pass(engine, state, cfg, interpret=False):
     """Perturbation-pressure + Monaghan-viscosity momentum sweep
     (balance_of_momentum!, wcsph_perturbed_witch.jl:261-286; identical form
@@ -376,6 +389,7 @@ def momentum_pass(engine, state, cfg, interpret=False):
         (f["m"],) + tuple(f["v"][:, a] for a in range(d))
         + (rho_f, Aterm, cs))]
     DW = _rdw_const(d)
+    div = _div_fn(cfg, interpret)
 
     def body(p_all, q_all, r2, maskf):
         hp = p_all[1 + d]
@@ -385,7 +399,7 @@ def momentum_pass(engine, state, cfg, interpret=False):
 
         r = jnp.sqrt(r2)
         h_ij = 0.5 * (hp + q_all[1 + d][None, :])
-        hinv = 1.0 / h_ij
+        hinv = div(1.0, h_ij)
         t = jnp.maximum(1.0 - r * hinv, 0.0) * maskf
         hinv2 = hinv * hinv
         ker = DW * t * t * t * (hinv2 * hinv2 if d == 2
@@ -397,8 +411,8 @@ def momentum_pass(engine, state, cfg, interpret=False):
 
         c_ij = 0.5 * (cp + cq)
         rho_ij = 0.5 * (rhop + rhoq)
-        mu_ij = (h_ij * dot) / (r2 + eps * h_ij * h_ij)
-        pi_ij = (-alpha * c_ij * mu_ij + beta * mu_ij * mu_ij) / rho_ij
+        mu_ij = div(h_ij * dot, r2 + eps * h_ij * h_ij)
+        pi_ij = div(-alpha * c_ij * mu_ij + beta * mu_ij * mu_ij, rho_ij)
         # fold pressure + viscosity into one -mq·ker·(...) product
         s = -mq * ker * (Ap + Aq
                          + (dot < 0.0).astype(jnp.float32) * pi_ij)
@@ -436,6 +450,7 @@ def hopkins_momentum_pass(engine, state, cfg, background_split: bool,
     fields = coords + [hB] + [engine.resident(a) for a in hoisted]
     DW = _rdw_const(d)
     b0 = 2 + d  # index of first hoisted field (after occ, coords, h)
+    div = _div_fn(cfg, interpret)
 
     def body(p_all, q_all, r2, maskf):
         hp = p_all[1 + d]
@@ -449,7 +464,7 @@ def hopkins_momentum_pass(engine, state, cfg, background_split: bool,
         r = jnp.sqrt(r2)
 
         def rdw(h):
-            hinv = 1.0 / h
+            hinv = div(1.0, h)
             t = jnp.maximum(1.0 - r * hinv, 0.0) * maskf
             hinv2 = hinv * hinv
             return DW * t * t * t * (hinv2 * hinv2 if d == 2
@@ -470,8 +485,8 @@ def hopkins_momentum_pass(engine, state, cfg, background_split: bool,
         ker = rdw(h_ij)
         c_ij = 0.5 * (cp + cq)
         rho_ij = 0.5 * (rhop + rhoq)
-        mu_ij = (h_ij * dot) / (r2 + eps * h_ij * h_ij)
-        pi_ij = (-alpha * c_ij * mu_ij + beta * mu_ij * mu_ij) / rho_ij
+        mu_ij = div(h_ij * dot, r2 + eps * h_ij * h_ij)
+        pi_ij = div(-alpha * c_ij * mu_ij + beta * mu_ij * mu_ij, rho_ij)
         visc = (dot < 0.0).astype(jnp.float32) * (-mq) * pi_ij * ker
         s = s + visc
         return [s * dx[a] for a in range(d)]
@@ -561,6 +576,7 @@ def pavelka_mass_pass(engine, state, cfg, interpret=False):
     nu = cfg.nu
     b0 = 2 + d
     fixed = cfg.fixed_diffusion
+    div = _div_fn(cfg, interpret)
 
     def body(p_all, q_all, r2, maskf):
         hp = p_all[1 + d]
@@ -571,7 +587,7 @@ def pavelka_mass_pass(engine, state, cfg, interpret=False):
 
         r = jnp.sqrt(r2)
         h_ij = 0.5 * (hp + hq)
-        hinv = 1.0 / h_ij
+        hinv = div(1.0, h_ij)
         t = jnp.maximum(1.0 - r * hinv, 0.0) * maskf
         hinv2 = hinv * hinv
         ker = wqq * DW * t * t * t * (hinv2 * hinv2 if d == 2
@@ -583,7 +599,7 @@ def pavelka_mass_pass(engine, state, cfg, interpret=False):
         if fixed:
             diff = 2.0 * nu * (rhop - rhoq) * ker
         else:  # reference-faithful kernel-less form (:199-200), divergent
-            diff = 2.0 * nu / rhop * (rhop - rhoq) * maskf
+            diff = div(2.0 * nu, rhop) * (rhop - rhoq) * maskf
         return [conv + both * diff]
 
     (out,) = _run_pair_kernel(engine, state, fields, body, 1,
@@ -611,6 +627,7 @@ def pavelka_momentum_entropy_pass(engine, state, cfg, interpret=False):
     DW = _rdw_const(d)
     mu, dt = cfg.mu, cfg.dt
     b0 = 2 + d
+    div = _div_fn(cfg, interpret)
 
     def body(p_all, q_all, r2, maskf):
         hp = p_all[1 + d]
@@ -624,7 +641,7 @@ def pavelka_momentum_entropy_pass(engine, state, cfg, interpret=False):
 
         r = jnp.sqrt(r2)
         h_ij = 0.5 * (hp + hq)
-        hinv = 1.0 / h_ij
+        hinv = div(1.0, h_ij)
         t = jnp.maximum(1.0 - r * hinv, 0.0) * maskf
         hinv2 = hinv * hinv
         ker = wqq * DW * t * t * t * (hinv2 * hinv2 if d == 2
@@ -634,11 +651,11 @@ def pavelka_momentum_entropy_pass(engine, state, cfg, interpret=False):
         dot = sum(dx[a] * dv[a] for a in range(d))
 
         du = -rhop * ker * (Ptp + Ptq)
-        visc = (rhop * 8.0 * ker * mu / (rhop * rhoq) * dot
-                / (r2 + 0.0025 * (hp + hq) ** 2))
+        visc = div(div(rhop * 8.0 * ker * mu, rhop * rhoq) * dot,
+                   r2 + 0.0025 * (hp + hq) ** 2)
         s = du + visc
-        dS = (-4.0 * mp * mq * ker * mu / (Tp * rhoq)
-              * dot * dot / (r2 + 0.01 * hp * hq) * dt) * both
+        dS = (div(div(-4.0 * mp * mq * ker * mu, Tp * rhoq) * dot * dot,
+                  r2 + 0.01 * hp * hq) * dt) * both
         return [s * dx[a] for a in range(d)] + [dS]
 
     return _run_pair_kernel(engine, state, fields, body, d + 1,

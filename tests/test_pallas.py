@@ -145,3 +145,25 @@ def test_pavelka_step_pallas_matches_xla(interpret_kernels):
     _scheme_pallas_vs_xla(pv, lambda up: pv.PavelkaConfig(
         n_rows=10, dtype="float32", self_density=True,
         layout="bucket", skin=0.2, use_pallas=up))
+
+
+def test_fast_math_wiring_matches_exact(interpret_kernels):
+    """cfg.fast_math swaps pair-body divides for pl.reciprocal(approx=True).
+    Interpret mode evaluates that as an exact f32 reciprocal, so the only
+    residual vs the plain-divide path is one extra rounding per
+    multiply-by-inverse — trajectories must agree to f32 roundoff. Guards
+    the wiring (field indices, recip placement) without TPU hardware; the
+    hardware approximation error is measured on-device (BENCHMARKS.md)."""
+    outs = {}
+    for fm in (False, True):
+        cfg = WitchConfig(n_rows=10, dtype="float32", self_density=True,
+                          layout="bucket", skin=0.2, use_pallas=True,
+                          fast_math=fm)
+        sys_ = w.make_system(cfg)
+        state = sys_.freeze()
+        step = jax.jit(w.make_step(cfg, sys_.engine))
+        for _ in range(5):
+            state = step(state)
+        outs[fm] = np.asarray(state.fields["x"])
+    # positions are O(1e5) m; 1e-3 m absolute = f32 roundoff at that scale
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-6, atol=1e-3)
