@@ -38,7 +38,12 @@ FIELDS = {"h": 0, "x": 2, "m": 0, "v": 2, "Dv": 2,
 
 
 def make_system(cfg: WitchConfig) -> ParticleSystem:
-    return make_witch_system(cfg, FIELDS)
+    # Irreducible per-step state: the step recomputes rho/rho_p/rho_bg,
+    # P*/T*/theta* after every rebuild before reading them, and Dv is zero
+    # at rebuild time (kick-drift-rebuild order), so bucket rescatters move
+    # only these + the constant T_bg (read by find_temperature's T_p).
+    return make_witch_system(
+        cfg, FIELDS, persistent=("x", "v", "h", "m", "type", "T_bg"))
 
 
 def make_step(cfg: WitchConfig, engine):

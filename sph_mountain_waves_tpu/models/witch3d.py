@@ -101,7 +101,10 @@ def make_system(cfg: Witch3DConfig) -> ParticleSystem:
 
     sys = ParticleSystem(fields=FIELDS, domain=domain + fence, h=cfg.h0,
                          dim=3, dtype=cfg.jdtype)
-    sys.freeze_opts = {"layout": cfg.layout, "skin": cfg.skin}
+    sys.freeze_opts = {"layout": cfg.layout, "skin": cfg.skin,
+                       # same irreducible-state argument as the 2-D scheme
+                       # (wcsph_perturbed_witch.make_system)
+                       "persistent": ("x", "v", "h", "m", "type", "T_bg")}
     if cfg.bucket_cap:
         sys.freeze_opts["cap"] = cfg.bucket_cap
     if cfg.lattice_cells:

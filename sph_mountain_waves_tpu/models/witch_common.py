@@ -207,7 +207,8 @@ def witch_profile(cfg: WitchConfig, x):
 # ------------------------------------------------------------- geometry
 
 def make_witch_system(cfg: WitchConfig, fields: dict,
-                      extra_capacity: int = 0) -> ParticleSystem:
+                      extra_capacity: int = 0,
+                      persistent: tuple = ()) -> ParticleSystem:
     """Domain + fence + mountain geometry and particle generation
     (make_system, src/current/wcsph_perturbed_witch.jl:152-170). ``fields``
     must include the scheme's per-particle variables; common init (background
@@ -222,6 +223,10 @@ def make_witch_system(cfg: WitchConfig, fields: dict,
     sys = ParticleSystem(fields=fields, domain=domain + fence, h=cfg.h0,
                          dim=2, dtype=cfg.jdtype)
     sys.freeze_opts = {"layout": cfg.layout, "skin": cfg.skin}
+    if persistent:
+        # scheme-declared irreducible state: every other field is derived
+        # post-rebuild before being read, so rescatters move only these
+        sys.freeze_opts["persistent"] = tuple(persistent)
     if getattr(cfg, "bucket_cap", None):
         sys.freeze_opts["cap"] = cfg.bucket_cap
     if getattr(cfg, "lattice_cells", False):

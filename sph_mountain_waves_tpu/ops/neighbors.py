@@ -35,7 +35,7 @@ import numpy as np
 
 from ..structs import ParticleState
 
-__all__ = ["NeighborEngine", "Neighbors"]
+__all__ = ["NeighborEngine", "Neighbors", "sorted_slot_scatter"]
 
 
 @jax.tree_util.register_dataclass
@@ -50,6 +50,64 @@ class Neighbors:
     bucket: jnp.ndarray     # [num_cells+1, cap] int32 particle slots (0-pad)
     overflow: jnp.ndarray   # [] int32: flat layout = max count beyond cap;
     #                         bucket layout = rows dropped at this rescatter
+
+
+def sorted_slot_scatter(key, fields, C: int, cap: int, slots: int):
+    """Move ``fields`` (name → [n] or [n, d] array) into bucket-slot layout
+    [slots] / [slots, d].
+
+    The expensive random data movement is ONE variadic stable ``lax.sort``
+    keyed on the flat cell key carrying every field component as a payload
+    (measured ~1 ms per payload at 2M slots vs ~28 ms for a random gather —
+    the sort network's movement is structured). The sorted rows then land in
+    their slots with one per-field scatter whose indices are near-monotonic
+    (sorted keys), replacing the gather+scatter pair of the naive move.
+
+    Each field is scattered into its own whole output buffer — do NOT be
+    tempted to batch the scatters through one column-stacked block: deriving
+    every output of a ``lax.cond`` branch from a single temp buffer was
+    measured to impose a ~2.2 ms/step tax on every NON-rescatter step of the
+    enclosing scan at 108k (XLA copy/buffer assignment around the
+    conditional), wiping out far more than the batching saves.
+
+    ``key`` must equal C for rows to drop (inactive/out-of-domain); rows
+    whose cell overflows ``cap`` are dropped and counted. Returns
+    (fields_in_slot_layout, active, overflow). Slot occupancy IS the new
+    active mask (key < C implies an active row).
+    """
+    n = key.shape[0]
+    comps, meta = [], []  # flattened [n] components + (name, ncomp, dtype)
+    for name, arr in fields.items():
+        if arr.ndim == 1:
+            comps.append(arr)
+            meta.append((name, 1, arr.dtype))
+        else:
+            comps.extend(arr[:, a] for a in range(arr.shape[1]))
+            meta.append((name, arr.shape[1], arr.dtype))
+
+    out = jax.lax.sort((key,) + tuple(comps), num_keys=1, is_stable=True)
+    key_s, comps_s = out[0], list(out[1:])
+
+    counts = jnp.zeros(C + 1, dtype=jnp.int32).at[key_s].add(1)
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[key_s]
+    slot = jnp.where((rank < cap) & (key_s < C),
+                     rank * (C + 1) + key_s, slots)
+    overflow = jnp.sum((rank >= cap) & (key_s < C)).astype(jnp.int32)
+
+    active = (jnp.zeros(slots, jnp.bool_)
+              .at[slot].set(jnp.ones((n,), jnp.bool_), mode="drop"))
+    moved, col = {}, 0
+    for name, ncomp, dtype in meta:
+        if ncomp == 1:
+            upd = comps_s[col]
+        else:
+            upd = jnp.stack(comps_s[col:col + ncomp], axis=-1)
+        moved[name] = (jnp.zeros((slots,) + upd.shape[1:], dtype)
+                       .at[slot].set(upd, mode="drop"))
+        col += ncomp
+    return moved, active, overflow
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,14 +148,23 @@ class NeighborEngine:
     # cap/kmax quantization that aliasing inflates. Each width must be ≥ h
     # (pair cutoff r ≤ h must stay inside the ±1-cell stencil).
     cells: tuple = ()
+    # Fields the bucket-layout rescatter must MOVE; () = all of them (safe
+    # default). A scheme whose step recomputes every other field after
+    # ``rebuild`` before reading it (e.g. summation-density WCSPH: rho, P,
+    # rho_p, ... are all derived post-rebuild, and Dv is zero at rebuild
+    # time) can shrink this to the irreducible state (x, v, h, m, type) —
+    # every moved component rides the variadic sort (~1 ms per payload at
+    # 2M slots) plus a share of one wide scatter, so fewer fields ≈
+    # proportionally cheaper rescatters. Non-moved fields are zeroed.
+    persistent: tuple = ()
 
     # ------------------------------------------------------------- creation
     @staticmethod
     def create(box, h: float, dim: int, positions: np.ndarray | None = None,
                cap: int | None = None, dtype=jnp.float32,
                pair_mode: str = "auto", layout: str = "flat",
-               skin: float = 0.0, cells: tuple | None = None
-               ) -> "NeighborEngine":
+               skin: float = 0.0, cells: tuple | None = None,
+               persistent: tuple = ()) -> "NeighborEngine":
         """Build an engine for domain ``box`` and interaction radius h.
 
         Key arithmetic matches reference src/structs.jl:66-68 (with per-axis
@@ -134,7 +201,8 @@ class NeighborEngine:
                               lims=tuple(int(l) for l in lims), cap=int(cap),
                               dtype=dtype, mins=tuple(mins), maxs=tuple(maxs),
                               pair_mode=pair_mode, layout=layout,
-                              skin=float(skin), cells=cells)
+                              skin=float(skin), cells=cells,
+                              persistent=tuple(persistent))
 
     @property
     def cell_size(self) -> tuple:
@@ -268,25 +336,17 @@ class NeighborEngine:
         positions. Returns (new_state, n_dropped_by_overflow)."""
         C, cap = self.num_cells, self.cap
         active, cell, key = self._screen_and_key(state)
-        order = jnp.argsort(key, stable=True)
-        key_s = key[order]
-        active_s = active[order]
-        counts = jnp.zeros(C + 1, dtype=jnp.int32).at[key_s].add(1)
-        starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                  jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-        rank = jnp.arange(key.shape[0], dtype=jnp.int32) - starts[key_s]
-        slot = jnp.where((rank < cap) & (key_s < C),
-                         rank * (C + 1) + key_s, self.slots)
-        overflow = jnp.sum(active_s & (rank >= cap) & (key_s < C)).astype(jnp.int32)
+        move = {name: arr for name, arr in state.fields.items()
+                if name != "_xref"
+                and (not self.persistent or name in self.persistent)}
+        moved, new_active, overflow = sorted_slot_scatter(
+            key, move, C, cap, self.slots)
         fields = {}
         for name, arr in state.fields.items():
             if name == "_xref":
                 continue
-            fields[name] = (jnp.zeros_like(arr).at[slot].set(arr[order],
-                                                             mode="drop"))
+            fields[name] = moved.get(name, jnp.zeros_like(arr))
         fields["_xref"] = fields["x"]
-        new_active = (jnp.zeros_like(state.active)
-                      .at[slot].set(active_s, mode="drop"))
         return ParticleState(fields=fields, active=new_active), overflow
 
     def _implicit_consts(self):

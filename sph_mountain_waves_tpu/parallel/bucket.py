@@ -43,7 +43,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.neighbors import NeighborEngine, Neighbors
+from ..ops.neighbors import (NeighborEngine, Neighbors,
+                             sorted_slot_scatter)
 from ..structs import ParticleState
 
 __all__ = ["BucketDomainSharding", "BucketShardEngine",
@@ -427,29 +428,21 @@ class BucketShardEngine:
         key, ok, owned_col = self._local_keys(cat["x"], act_cat)
         keep = ok & owned_col          # adopt only rows in MY slab
         key = jnp.where(keep, key, C).astype(jnp.int32)
-
-        order = jnp.argsort(key, stable=True)
-        key_s = key[order]
-        counts = jnp.zeros(C + 1, dtype=jnp.int32).at[key_s].add(1)
-        starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                  jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-        rank = jnp.arange(key.shape[0], dtype=jnp.int32) - starts[key_s]
-        slot = jnp.where((rank < cap) & (key_s < C),
-                         rank * (C + 1) + key_s, eng.slots)
-        overflow = jnp.sum(keep[order] & (rank >= cap) & (key_s < C))
         # escapes: my owned active rows that went NaN / out of the global
         # domain (reference removal; observable in the count like
         # sph_jl/examples/cylinder.jl:202)
         lost = jnp.sum(my_act & ~ok[: my_act.shape[0]])
 
+        # one variadic sort + one wide scatter (see sorted_slot_scatter);
+        # key < C implies keep, so slot occupancy is the new active mask
+        move = {k: cat[k] for k in names
+                if not eng.persistent or k in eng.persistent}
+        moved, active, overflow = sorted_slot_scatter(
+            key, move, C, cap, eng.slots)
         fields = {}
         for k in names:
-            arr = state.fields[k]
-            fields[k] = (jnp.zeros_like(arr).at[slot].set(
-                cat[k][order], mode="drop"))
+            fields[k] = moved.get(k, jnp.zeros_like(state.fields[k]))
         fields["_xref"] = fields["x"]
-        active = (jnp.zeros_like(state.active)
-                  .at[slot].set(keep[order], mode="drop"))
         new_state = ParticleState(fields=fields, active=active)
 
         # 3. rebuild ghost mirrors on the new layout
