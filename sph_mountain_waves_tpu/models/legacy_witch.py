@@ -357,6 +357,9 @@ def run(cfg: LegacyConfig, out_path: str | None = None, verbose: bool = False,
         sys = make_system(cfg_)
         if cfg_.flow:
             sys.freeze_opts["capacity"] = int(sys.n_built * capacity_factor)
+            # spawning writes arbitrary inactive rows -> the 1-cell-local
+            # stencil rescatter's locality invariant does not hold
+            sys.freeze_opts["rescatter_mode"] = "sort"
         return sys
 
     return _run_witch_scheme(cfg, _make_system, make_step,

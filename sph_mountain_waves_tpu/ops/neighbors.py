@@ -157,6 +157,18 @@ class NeighborEngine:
     # 2M slots) plus a share of one wide scatter, so fewer fields ≈
     # proportionally cheaper rescatters. Non-moved fields are zeroed.
     persistent: tuple = ()
+    # Bucket rescatter implementation. "stencil" (default): between
+    # rescatters every particle has drifted ≤ skin_slack/2 + one step ≪ one
+    # cell, so its new cell is within ±1 of its current one and re-placement
+    # is a windowed compaction over the 9/27 neighbor blocks — pure shifted
+    # elementwise ops, no sort and no random gather/scatter (freeze() places
+    # initial rows in their slots host-side, so the locality invariant holds
+    # from step 0). Particles that nonetheless land farther away (only
+    # possible if rows are teleported, e.g. spawn pools writing arbitrary
+    # inactive slots) are DROPPED and counted in Neighbors.overflow — models
+    # that spawn under the bucket layout must set "sort" (the variadic
+    # sort-payload move, valid for any row placement).
+    rescatter_mode: str = "stencil"
 
     # ------------------------------------------------------------- creation
     @staticmethod
@@ -164,7 +176,8 @@ class NeighborEngine:
                cap: int | None = None, dtype=jnp.float32,
                pair_mode: str = "auto", layout: str = "flat",
                skin: float = 0.0, cells: tuple | None = None,
-               persistent: tuple = ()) -> "NeighborEngine":
+               persistent: tuple = (),
+               rescatter_mode: str = "stencil") -> "NeighborEngine":
         """Build an engine for domain ``box`` and interaction radius h.
 
         Key arithmetic matches reference src/structs.jl:66-68 (with per-axis
@@ -202,7 +215,8 @@ class NeighborEngine:
                               dtype=dtype, mins=tuple(mins), maxs=tuple(maxs),
                               pair_mode=pair_mode, layout=layout,
                               skin=float(skin), cells=cells,
-                              persistent=tuple(persistent))
+                              persistent=tuple(persistent),
+                              rescatter_mode=rescatter_mode)
 
     @property
     def cell_size(self) -> tuple:
@@ -349,6 +363,96 @@ class NeighborEngine:
         fields["_xref"] = fields["x"]
         return ParticleState(fields=fields, active=new_active), overflow
 
+    def _stencil_rescatter(self, state: ParticleState):
+        """1-cell-local rescatter: windowed compaction over the 9/27
+        neighbor blocks (see ``rescatter_mode``). For every cell c and every
+        stencil offset o (offset-major, then source slot — deterministic),
+        candidates are the slots of cell c+o whose NEW key equals c; they
+        are packed into c's slots in scan order via a one-hot rank match.
+        All data movement is pad+slice stencil shifts and elementwise
+        selects — measured ~10-40x cheaper than the sort-payload move.
+        Drops (cap overflow + any particle farther than one cell) are
+        counted and surfaced. Returns (new_state, n_dropped)."""
+        C, cap = self.num_cells, self.cap
+        dim = self.dim
+        active, cell, key = self._screen_and_key(state)
+        grid = tuple(reversed(self.lims))  # [(nz,) ny, nx], x minor
+
+        def gview(flat):
+            return self.resident(flat)[:, :C].reshape((cap,) + grid)
+
+        def pad1(a, fill):
+            return jnp.pad(a, ((0, 0),) + ((1, 1),) * dim,
+                           constant_values=fill)
+
+        def sl(padded, off):
+            # shifted[c] = a[c + off]; off = (dx, dy(, dz)), grid axes are
+            # reversed (x minor)
+            idxs = (slice(None),)
+            for ax in range(dim):           # grid axis ax: z/y/x for dim 3
+                o = off[dim - 1 - ax]
+                n_ax = grid[ax]
+                idxs += (slice(1 + o, 1 + o + n_ax),)
+            return padded[idxs]
+
+        keyg = pad1(gview(jnp.where(active, key, C)), C)
+        idx = jnp.arange(C, dtype=jnp.int32).reshape(grid)
+
+        dt = state.fields["x"].dtype
+        names = [n for n in state.fields
+                 if n != "_xref" and (not self.persistent
+                                      or n in self.persistent)]
+        comps = []  # (name, comp_axis or None, padded [cap, grid+2])
+        for n in names:
+            arr = state.fields[n]
+            if arr.ndim == 1:
+                comps.append((n, None, pad1(gview(arr), 0)))
+            else:
+                for a in range(arr.shape[1]):
+                    comps.append((n, a, pad1(gview(arr[:, a]), 0)))
+
+        cnt = jnp.zeros(grid, jnp.int32)
+        iota_k = jnp.arange(cap, dtype=jnp.int32).reshape(
+            (cap,) + (1,) * dim)
+        outs = [jnp.zeros((cap,) + grid, c[2].dtype) for c in comps]
+        for off in self.stencil:
+            nk = sl(keyg, off)                      # [cap, *grid]
+            member = nk == idx[None]
+            shifted = [sl(p, off) for (_, _, p) in comps]
+            for kp in range(cap):
+                m = member[kp]
+                oh = ((iota_k == cnt[None]) & m[None]).astype(dt)
+                for i in range(len(comps)):
+                    outs[i] = outs[i] + oh * shifted[i][kp]
+                cnt = cnt + m.astype(jnp.int32)
+
+        placed = jnp.minimum(cnt, cap)
+        dropped = (jnp.sum(cnt - placed)
+                   + jnp.sum(key < C) - jnp.sum(cnt)).astype(jnp.int32)
+        act_g = iota_k < placed[None]               # [cap, *grid]
+
+        def to_flat(g):
+            flat = g.reshape(cap, C)
+            return jnp.pad(flat, ((0, 0), (0, 1))).reshape(cap * (C + 1))
+
+        fields = {}
+        i = 0
+        for n in names:
+            arr = state.fields[n]
+            if arr.ndim == 1:
+                fields[n] = to_flat(outs[i])
+                i += 1
+            else:
+                cols = [to_flat(outs[i + a]) for a in range(arr.shape[1])]
+                fields[n] = jnp.stack(cols, axis=-1)
+                i += len(cols)
+        for n, arr in state.fields.items():
+            if n not in fields and n != "_xref":
+                fields[n] = jnp.zeros_like(arr)
+        fields["_xref"] = fields["x"]
+        new_active = to_flat(act_g.astype(jnp.int32)) > 0
+        return ParticleState(fields=fields, active=new_active), dropped
+
     def _implicit_consts(self):
         """Static neighbor-structure components of the bucket layout —
         host-cached numpy, embedded as XLA constants at trace time."""
@@ -363,8 +467,10 @@ class NeighborEngine:
                             posinf=jnp.inf)
         budget = (0.5 * self.skin_slack) ** 2
         need = jnp.max(d2) > budget
+        resc = (self._stencil_rescatter if self.rescatter_mode == "stencil"
+                else self._full_rescatter)
         state, overflow = jax.lax.cond(
-            need, self._full_rescatter,
+            need, resc,
             lambda s: (s, jnp.zeros((), jnp.int32)), state)
 
         # implicit neighbor structure: the layout IS the cell assignment;

@@ -182,11 +182,15 @@ class ParticleSystem:
         self.engine = engine
 
         if engine.layout == "bucket":
-            # rows ARE bucket slots; _xref=inf forces the first rebuild to
-            # rescatter the arbitrarily-placed initial rows into slots
+            # rows ARE bucket slots: place particles host-side directly in
+            # their slots (rank*(C+1)+key, same f32 key arithmetic as
+            # _screen_and_key) so no boot rescatter is needed and the
+            # 1-cell-local stencil rescatter's assumption (rows near their
+            # cells) holds from step 0. _xref = x.
             self.field_specs.setdefault("_xref", (self.dim,))
             capacity = engine.slots
             assert n <= capacity, (n, capacity)
+            return self._freeze_bucket(engine, host, n)
         else:
             if capacity is None:
                 capacity = max(n, 1)
@@ -202,6 +206,49 @@ class ParticleSystem:
             fields[name] = jnp.asarray(arr, dtype=self.dtype)
         active = jnp.arange(capacity) < n
         self.state = ParticleState(fields=fields, active=active)
+        return self.state
+
+    def _freeze_bucket(self, engine, host: dict, n: int) -> ParticleState:
+        """Host-side slot placement for the bucket layout (dtype-matched to
+        the device key arithmetic of NeighborEngine._screen_and_key)."""
+        C, cap = engine.num_cells, engine.cap
+        slots = engine.slots
+        sdt = np.dtype(jnp.dtype(self.dtype))
+        if n:
+            x = np.asarray(host["x"], dtype=np.float64).astype(sdt)[:, :self.dim]
+            L = np.asarray(engine.cell_size, dtype=sdt)
+            ci = np.floor(x / L).astype(np.int64) - np.asarray(engine.phase)
+            ci = np.clip(ci, 0, np.asarray(engine.lims) - 1)
+            key = ci[:, 0]
+            stride = engine.lims[0]
+            for a in range(1, self.dim):
+                key = key + stride * ci[:, a]
+                stride *= engine.lims[a]
+            order = np.argsort(key, kind="stable")
+            key_s = key[order]
+            counts = np.bincount(key_s, minlength=C + 1)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            rank = np.arange(n) - starts[key_s]
+            if rank.size and rank.max() >= cap:
+                raise ValueError(
+                    f"initial occupancy {int(rank.max()) + 1} > cap {cap}")
+            slot = rank * (C + 1) + key_s
+        else:
+            order = slot = np.zeros(0, dtype=np.int64)
+
+        fields = {}
+        for name, shape in self.field_specs.items():
+            arr = np.zeros((slots,) + shape, dtype=np.float64)
+            if name != "_xref" and name in host and n:
+                arr[slot] = np.asarray(host[name])[order]
+            fields[name] = jnp.asarray(arr, dtype=self.dtype)
+        # _xref must be a DISTINCT buffer (not an alias of x): donated-arg
+        # execution rejects the same buffer appearing twice in a pytree.
+        fields["_xref"] = fields["x"] + jnp.zeros((), self.dtype)
+        active = np.zeros(slots, dtype=bool)
+        active[slot] = True
+        self.state = ParticleState(fields=fields,
+                                   active=jnp.asarray(active))
         return self.state
 
     # ------------------------------------------------------------ accessors

@@ -191,15 +191,35 @@ def test_point_sum_with_skin():
 def test_bucket_overflow_surfaced():
     # bucket-layout rescatter must COUNT dropped rows, not silently lose mass
     # (VERDICT r1 weak #6; reference prints particle count per frame,
-    # sph_jl/examples/cylinder.jl:202)
+    # sph_jl/examples/cylinder.jl:202). Boot-time overflow is a hard error
+    # (freeze raises); runtime compression past cap is counted.
     dom = Rectangle(0.0, 0.0, 1.0, 1.0)
-    sys = ParticleSystem(fields={"x": 2, "m": 0}, domain=dom, h=0.25, dim=2,
-                         dtype=jnp.float64)
-    # 10 particles crammed into one cell, bucket capacity 4 -> 6 dropped
     rng = np.random.default_rng(0)
-    pts = 0.1 + 0.04 * rng.uniform(size=(10, 2))
-    sys.add_particles(pts, {"m": 1.0})
-    state = sys.freeze(layout="bucket", cap=4)
+
+    def build(**opts):
+        sys = ParticleSystem(fields={"x": 2, "m": 0}, domain=dom, h=0.25,
+                             dim=2, dtype=jnp.float64)
+        # 10 particles spread over distinct cells (fits cap at boot)
+        pts = np.stack([np.linspace(0.05, 0.95, 10),
+                        np.linspace(0.05, 0.95, 10)], axis=-1)
+        sys.add_particles(pts, {"m": 1.0})
+        state = sys.freeze(layout="bucket", cap=4, skin=0.2, **opts)
+        return sys, state
+
+    # boot overflow -> clear error, not silent drops
+    sys_bad = ParticleSystem(fields={"x": 2, "m": 0}, domain=dom, h=0.25,
+                             dim=2, dtype=jnp.float64)
+    sys_bad.add_particles(0.1 + 0.04 * rng.uniform(size=(10, 2)), {"m": 1.0})
+    with pytest.raises(ValueError, match="occupancy"):
+        sys_bad.freeze(layout="bucket", cap=4)
+
+    # runtime compression: teleporting rows is only valid under the sort
+    # move (the stencil move assumes 1-cell locality)
+    sys, state = build(rescatter_mode="sort")
+    crowd = jnp.asarray(0.1 + 0.04 * rng.uniform(size=(state.fields["x"].shape[0], 2)),
+                        state.fields["x"].dtype)
+    state = state.replace(x=jnp.where(state.active[:, None], crowd,
+                                      state.fields["x"]))
     state2, nbrs = sys.engine.rebuild(state)
     assert int(nbrs.overflow) == 6
     assert int(state2.n) == 4
@@ -207,6 +227,63 @@ def test_bucket_overflow_surfaced():
     state3, nbrs3 = sys.engine.rebuild(state2)
     assert int(nbrs3.overflow) == 0
     assert int(state3.n) == 4
+
+
+def test_stencil_rescatter_counts_distant_rows():
+    # default stencil move: a row teleported farther than one cell cannot be
+    # re-placed locally -> dropped AND counted (never silent)
+    dom = Rectangle(0.0, 0.0, 1.0, 1.0)
+    sys = ParticleSystem(fields={"x": 2, "m": 0}, domain=dom, h=0.2, dim=2,
+                         dtype=jnp.float64)
+    pts = np.stack([np.linspace(0.05, 0.95, 8), np.full(8, 0.5)], axis=-1)
+    sys.add_particles(pts, {"m": 1.0})
+    state = sys.freeze(layout="bucket", cap=4, skin=0.25)
+    assert sys.engine.rescatter_mode == "stencil"
+    x = state.fields["x"]
+    far = jnp.where((jnp.abs(x[:, 0] - 0.05) < 1e-9)[:, None],
+                    jnp.asarray([0.95, 0.95], x.dtype), x)
+    state = state.replace(x=far)
+    state2, nbrs = sys.engine.rebuild(state)
+    assert int(nbrs.overflow) == 1
+    assert int(state2.n) == 7
+
+
+def test_stencil_matches_sort_rescatter():
+    # drifting cloud within the skin budget: stencil and sort moves must
+    # keep identical per-cell particle sets (pair sums equal)
+    from sph_mountain_waves_tpu.ops.apply import pair_sum as psum
+    outs = {}
+    for mode in ("sort", "stencil"):
+        sys, state, x, m = make_cloud(400, 2, 1.0, 0.2, seed=3)
+        eng = sys.engine
+        import dataclasses as dc
+        eng = dc.replace(eng, layout="bucket", skin=0.3, rescatter_mode=mode)
+        sys.engine = eng
+        sys.state = None
+        sys.freeze_opts = {}
+        state = sys.freeze(engine=eng)
+        total = []
+        for it in range(6):
+            state, nbrs = eng.rebuild(state)
+            assert int(nbrs.overflow) == 0
+            dens = psum(eng, state, nbrs, lambda p, q, r: q.m * (eng.h - r),
+                        self_interaction=False)
+            total.append(float(jnp.sum(jnp.where(state.active, dens, 0.0))))
+            # drift keyed to POSITION (not slot index): the two modes place
+            # particles in different slot orders after a rescatter, so a
+            # slot-indexed random field would perturb different particles
+            xs = state.fields["x"]
+            step = 0.018 * jnp.sin(
+                xs * jnp.asarray([17.0, 23.0], xs.dtype)
+                + xs[:, ::-1] * jnp.asarray([5.0, 7.0], xs.dtype)
+                + (1.0 + it))
+            newx = jnp.clip(xs + step, 0.01, 0.99)
+            state = state.replace(x=jnp.where(state.active[:, None], newx,
+                                              xs))
+        outs[mode] = (np.asarray(total), int(state.n))
+    assert outs["sort"][1] == outs["stencil"][1]
+    np.testing.assert_allclose(outs["stencil"][0], outs["sort"][0],
+                               rtol=1e-12)
 
 
 def test_jit_and_scan_compatible():
