@@ -373,9 +373,24 @@ class NeighborEngine:
         selects — measured ~10-40x cheaper than the sort-payload move.
         Drops (cap overflow + any particle farther than one cell) are
         counted and surfaced. Returns (new_state, n_dropped)."""
+        active, cell, key = self._screen_and_key(state)
+        return self._stencil_compact(state, jnp.where(active, key,
+                                                      self.num_cells))
+
+    def _stencil_compact(self, state: ParticleState, key,
+                         count_cells=None):
+        """Compaction core of the stencil rescatter. ``key`` is the
+        per-slot destination cell ([slots] int32; ``num_cells`` = remove),
+        computed by the caller — the single-device rescatter bins with
+        ``_screen_and_key``; the sharded engine (parallel/bucket.py) bins
+        with global-parity slab-offset keys so ghost-column mirrors compact
+        into owned cells (migration). ``count_cells`` (optional [num_cells]
+        bool) restricts the drop accounting (cap overflow + >1-cell
+        teleports) to the cells this device owns — placement itself is
+        unrestricted (ghost placements are overwritten by the post-compact
+        ghost refresh). Returns (new_state, n_dropped)."""
         C, cap = self.num_cells, self.cap
         dim = self.dim
-        active, cell, key = self._screen_and_key(state)
         grid = tuple(reversed(self.lims))  # [(nz,) ny, nx], x minor
 
         def gview(flat):
@@ -395,7 +410,7 @@ class NeighborEngine:
                 idxs += (slice(1 + o, 1 + o + n_ax),)
             return padded[idxs]
 
-        keyg = pad1(gview(jnp.where(active, key, C)), C)
+        keyg = pad1(gview(key.astype(jnp.int32)), C)
         idx = jnp.arange(C, dtype=jnp.int32).reshape(grid)
 
         dt = state.fields["x"].dtype
@@ -427,8 +442,19 @@ class NeighborEngine:
                 cnt = cnt + m.astype(jnp.int32)
 
         placed = jnp.minimum(cnt, cap)
-        dropped = (jnp.sum(cnt - placed)
-                   + jnp.sum(key < C) - jnp.sum(cnt)).astype(jnp.int32)
+        if count_cells is None:
+            dropped = (jnp.sum(cnt - placed)
+                       + jnp.sum(key < C) - jnp.sum(cnt)).astype(jnp.int32)
+        else:
+            # overflow + teleports, counted only for cells I own (the
+            # neighbor accounts for its own copies of shared-band rows)
+            w = count_cells.reshape(grid).astype(jnp.int32)
+            keyed_owned = ((key < C)
+                           & jnp.take(count_cells,
+                                      jnp.clip(key, 0, C - 1)))
+            dropped = (jnp.sum((cnt - placed) * w)
+                       + jnp.sum(keyed_owned)
+                       - jnp.sum(cnt * w)).astype(jnp.int32)
         act_g = iota_k < placed[None]               # [cap, *grid]
 
         def to_flat(g):

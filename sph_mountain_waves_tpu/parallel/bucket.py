@@ -90,7 +90,8 @@ class BucketDomainSharding:
             dim=g.dim, h=g.h, phase=(0,) + tuple(g.phase[1:]),
             lims=self.local_lims, cap=g.cap, dtype=g.dtype,
             mins=mins, maxs=maxs, pair_mode="cell", layout="bucket",
-            skin=g.skin, cells=g.cell_size)
+            skin=g.skin, cells=g.cell_size, persistent=g.persistent,
+            rescatter_mode=g.rescatter_mode)
 
     @property
     def slots_local(self) -> int:
@@ -120,6 +121,13 @@ def _owned_mask_flat(bds: BucketDomainSharding) -> np.ndarray:
     owned_cell = bds.owned_col_mask[col_of_cell]
     owned_cell[C] = False
     return np.tile(owned_cell, eng.cap)
+
+
+def _owned_cell_mask(bds: BucketDomainSharding) -> np.ndarray:
+    """[num_cells_local] bool: cells in owned columns (static)."""
+    eng = bds.local_engine
+    col_of_cell = np.arange(eng.num_cells, dtype=np.int64) % eng.lims[0]
+    return bds.owned_col_mask[col_of_cell]
 
 
 def shard_state_bucket(bds: BucketDomainSharding, sys,
@@ -449,6 +457,33 @@ class BucketShardEngine:
         new_state = self._refresh_ghosts(new_state)
         return new_state, (overflow + lost).astype(jnp.int32)
 
+    def _stencil_rescatter(self, state: ParticleState):
+        """Collective stencil rescatter (``rescatter_mode="stencil"``, the
+        default): refresh ghost mirrors so migrant candidates sit in ghost
+        columns at fresh positions, then run the 1-cell-local windowed
+        compaction (NeighborEngine._stencil_compact) over the LOCAL grid
+        with global-parity keys. Mirrored ghost rows keyed into owned cells
+        are thereby adopted (migration); owned rows keyed into ghost cells
+        are placed there transiently and overwritten by the post-compact
+        refresh (the neighbor adopts its own mirror of them). Accounting:
+        drops in owned cells (cap overflow, in-window teleports) come from
+        the compaction; owned rows keyed nowhere local (domain escapes, or
+        out-of-window teleports) are counted here. In-window teleports into
+        ghost cells from non-mirror columns would go uncounted — teleports
+        only arise from spawn pools, and spawning models must use "sort"
+        (see NeighborEngine.rescatter_mode)."""
+        eng = self._eng
+        C = eng.num_cells
+        owned_flat = jnp.asarray(_owned_mask_flat(self.bds))
+        state = self._refresh_ghosts(state)
+        key, ok, _owned_col = self._local_keys(state.fields["x"],
+                                               state.active)
+        lost = jnp.sum(state.active & owned_flat & (key == C))
+        new_state, dropped = eng._stencil_compact(
+            state, key, count_cells=jnp.asarray(_owned_cell_mask(self.bds)))
+        new_state = self._refresh_ghosts(new_state)
+        return new_state, (dropped + lost).astype(jnp.int32)
+
     # ------------------------------------------------------------- rebuild
     def rebuild(self, state: ParticleState) -> tuple[ParticleState, Neighbors]:
         eng = self._eng
@@ -464,9 +499,11 @@ class BucketShardEngine:
 
         zero = jax.lax.pcast(jnp.zeros((), jnp.int32), self.axis,
                              to="varying")
+        resc = (self._stencil_rescatter
+                if eng.rescatter_mode == "stencil" else self._rescatter)
         state, overflow = jax.lax.cond(
             need,
-            self._rescatter,
+            resc,
             lambda s: (self._refresh_ghosts(s), zero),
             state)
 

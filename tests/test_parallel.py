@@ -121,9 +121,11 @@ def test_bucket_sharded_matches_single_device():
     np.testing.assert_allclose([float(ua), float(um)], u1, rtol=1e-10)
 
 
-def test_bucket_sharded_migration_conserves():
+@pytest.mark.parametrize("rescatter_mode", ["stencil", "sort"])
+def test_bucket_sharded_migration_conserves(rescatter_mode):
     """Strong x-wind forces repeated collective rescatters + slab
-    crossings; every migrant must arrive somewhere."""
+    crossings; every migrant must arrive somewhere — under both the
+    stencil (default) and sort-payload collective rescatters."""
     import jax.numpy as jnp
     from sph_mountain_waves_tpu import Rectangle, ParticleSystem
     from sph_mountain_waves_tpu.ops.apply import apply_unary
@@ -138,7 +140,7 @@ def test_bucket_sharded_migration_conserves():
                    rng.uniform(0.05, 0.95, size=500)], axis=-1)
     vs = np.stack([rng.uniform(-1.0, 1.0, size=500), np.zeros(500)], axis=-1)
     sys.add_particles(xs, {"v": vs})
-    sys.freeze(layout="bucket", skin=0.3)
+    sys.freeze(layout="bucket", skin=0.3, rescatter_mode=rescatter_mode)
     mesh = make_mesh(8)
     bds = build_bucket_sharding(sys, 8)
     state = shard_state_bucket(bds, sys, mesh)
