@@ -167,8 +167,22 @@ class NeighborEngine:
     # possible if rows are teleported, e.g. spawn pools writing arbitrary
     # inactive slots) are DROPPED and counted in Neighbors.overflow — models
     # that spawn under the bucket layout must set "sort" (the variadic
-    # sort-payload move, valid for any row placement).
+    # sort-payload move, valid for any row placement). The stencil move's
+    # compaction is an unrolled len(stencil)·cap graph — cheap at the
+    # production 2-D/3-D witch shapes (9·8=72 / 27·8=216) but a
+    # compile-time explosion at large caps (collapse3d cap 40 → 1080), so
+    # "stencil" silently degrades to "sort" past _STENCIL_COST_MAX (see
+    # effective_rescatter_mode).
     rescatter_mode: str = "stencil"
+
+    _STENCIL_COST_MAX = 512  # max len(stencil)*cap for the unrolled compaction
+
+    @property
+    def effective_rescatter_mode(self) -> str:
+        if (self.rescatter_mode == "stencil"
+                and len(self.stencil) * self.cap > self._STENCIL_COST_MAX):
+            return "sort"
+        return self.rescatter_mode
 
     # ------------------------------------------------------------- creation
     @staticmethod
@@ -493,7 +507,8 @@ class NeighborEngine:
                             posinf=jnp.inf)
         budget = (0.5 * self.skin_slack) ** 2
         need = jnp.max(d2) > budget
-        resc = (self._stencil_rescatter if self.rescatter_mode == "stencil"
+        resc = (self._stencil_rescatter
+                if self.effective_rescatter_mode == "stencil"
                 else self._full_rescatter)
         state, overflow = jax.lax.cond(
             need, resc,

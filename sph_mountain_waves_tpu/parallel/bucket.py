@@ -58,23 +58,47 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
+# per-axis local-grid rounding: x is the lane axis (XLA pad/slice shape
+# cliffs want ×128), y the sublane axis (×8), z unconstrained — matching
+# NeighborEngine.create's global-grid rounding. The slab axis should be a
+# LONG axis of the domain: x for the wide 2-D witch; y for witch3d, whose
+# global nx is already one 128-lane quantum so x-slabs cannot shrink it.
+_AXIS_QUANTUM = (128, 8, 1)
+
+
 @dataclasses.dataclass(frozen=True)
 class BucketDomainSharding:
-    """Static description of the slab decomposition (hashable)."""
+    """Static description of the slab decomposition (hashable).
+
+    ``slab_axis``: spatial axis the slabs cut (0=x, 1=y, 2=z). Per-device
+    local-grid size along it is ``slab_w + 2·GHOST`` rounded up to the
+    axis quantum — pick the axis where that rounding wastes least
+    (see _AXIS_QUANTUM)."""
     engine: NeighborEngine       # GLOBAL bucket engine (binning authority)
     n_dev: int
+    slab_axis: int = 0
 
     def __post_init__(self):
         assert self.engine.layout == "bucket", "bucket sharding needs bucket layout"
+        assert 0 <= self.slab_axis < self.engine.dim
+        # ghost mirrors are exchanged with ADJACENT devices only: the
+        # 2-deep ghost band must fit inside one neighbor's owned width
+        assert self.slab_w >= GHOST, (
+            f"slab width {self.slab_w} < ghost depth {GHOST}: too many "
+            f"devices for {self.engine.lims[self.slab_axis]} cells along "
+            f"axis {self.slab_axis}")
 
     @property
     def slab_w(self) -> int:
-        return -(-self.engine.lims[0] // self.n_dev)
+        return -(-self.engine.lims[self.slab_axis] // self.n_dev)
 
     @property
     def local_lims(self) -> tuple:
-        nx_local = _round_up(self.slab_w + 2 * GHOST, 128)
-        return (nx_local,) + tuple(self.engine.lims[1:])
+        a = self.slab_axis
+        n_a = _round_up(self.slab_w + 2 * GHOST, _AXIS_QUANTUM[a])
+        lims = list(self.engine.lims)
+        lims[a] = n_a
+        return tuple(lims)
 
     @property
     def local_engine(self) -> NeighborEngine:
@@ -83,51 +107,69 @@ class BucketDomainSharding:
         distributed rebuild); everything static (lims, stencil, resident
         views, Pallas row windows) runs on the local grid."""
         g = self.engine
-        L = g.cell_size[0]
-        mins = (0.0,) + tuple(g.mins[1:])
-        maxs = ((self.slab_w + 2 * GHOST) * L,) + tuple(g.maxs[1:])
+        a = self.slab_axis
+        L = g.cell_size[a]
+        mins = list(g.mins)
+        maxs = list(g.maxs)
+        phase = list(g.phase)
+        mins[a] = 0.0
+        maxs[a] = (self.slab_w + 2 * GHOST) * L
+        phase[a] = 0
         return NeighborEngine(
-            dim=g.dim, h=g.h, phase=(0,) + tuple(g.phase[1:]),
+            dim=g.dim, h=g.h, phase=tuple(phase),
             lims=self.local_lims, cap=g.cap, dtype=g.dtype,
-            mins=mins, maxs=maxs, pair_mode="cell", layout="bucket",
-            skin=g.skin, cells=g.cell_size, persistent=g.persistent,
-            rescatter_mode=g.rescatter_mode)
+            mins=tuple(mins), maxs=tuple(maxs), pair_mode="cell",
+            layout="bucket", skin=g.skin, cells=g.cell_size,
+            persistent=g.persistent, rescatter_mode=g.rescatter_mode)
 
     @property
     def slots_local(self) -> int:
         return self.local_engine.slots
 
     @property
+    def grid_axis(self) -> int:
+        """Axis of the slab coordinate in the [cap, (nz,) ny, nx] resident
+        grid view (x is the minor/last spatial axis)."""
+        return 1 + (self.engine.dim - 1 - self.slab_axis)
+
+    @property
     def owned_col_mask(self) -> np.ndarray:
-        """[local_nx] bool: columns owned by this device (same on every
-        device; the last device simply has empty columns past the domain)."""
-        m = np.zeros(self.local_lims[0], dtype=bool)
+        """[local_n_axis] bool: slab-axis planes owned by this device (same
+        on every device; the last device simply has empty planes past the
+        domain)."""
+        m = np.zeros(self.local_lims[self.slab_axis], dtype=bool)
         m[GHOST:GHOST + self.slab_w] = True
         return m
 
 
-def build_bucket_sharding(sys, n_dev: int) -> BucketDomainSharding:
+def build_bucket_sharding(sys, n_dev: int,
+                          slab_axis: int = 0) -> BucketDomainSharding:
     assert sys.engine is not None, "freeze() the system first"
-    return BucketDomainSharding(engine=sys.engine, n_dev=n_dev)
+    return BucketDomainSharding(engine=sys.engine, n_dev=n_dev,
+                                slab_axis=slab_axis)
+
+
+def _slab_coord_of_cell(bds: BucketDomainSharding, n: int) -> np.ndarray:
+    """Slab-axis component of the first ``n`` flat cell indices (cell =
+    ix + nx·(iy + ny·iz))."""
+    eng = bds.local_engine
+    a = bds.slab_axis
+    stride = int(np.prod(eng.lims[:a], dtype=np.int64)) if a else 1
+    return (np.arange(n, dtype=np.int64) // stride) % eng.lims[a]
 
 
 def _owned_mask_flat(bds: BucketDomainSharding) -> np.ndarray:
-    """[slots_local] bool: slots in owned columns (static)."""
+    """[slots_local] bool: slots in owned slab-axis planes (static)."""
     eng = bds.local_engine
-    nx = eng.lims[0]
     C = eng.num_cells
-    col_of_cell = np.arange(C + 1, dtype=np.int64) % nx
-    col_of_cell[C] = nx - 1  # trash column is never owned
-    owned_cell = bds.owned_col_mask[col_of_cell]
-    owned_cell[C] = False
+    owned_cell = bds.owned_col_mask[_slab_coord_of_cell(bds, C + 1)]
+    owned_cell[C] = False  # trash column is never owned
     return np.tile(owned_cell, eng.cap)
 
 
 def _owned_cell_mask(bds: BucketDomainSharding) -> np.ndarray:
-    """[num_cells_local] bool: cells in owned columns (static)."""
-    eng = bds.local_engine
-    col_of_cell = np.arange(eng.num_cells, dtype=np.int64) % eng.lims[0]
-    return bds.owned_col_mask[col_of_cell]
+    """[num_cells_local] bool: cells in owned slab-axis planes (static)."""
+    return bds.owned_col_mask[_slab_coord_of_cell(bds, bds.local_engine.num_cells)]
 
 
 def shard_state_bucket(bds: BucketDomainSharding, sys,
@@ -144,7 +186,8 @@ def shard_state_bucket(bds: BucketDomainSharding, sys,
     n = len(x)
     cg = np.floor(x[:, :dim] / L).astype(np.int64) - np.asarray(g.phase)
     cg = np.clip(cg, 0, np.asarray(g.lims) - 1)
-    dev = np.clip(cg[:, 0] // bds.slab_w, 0, bds.n_dev - 1)
+    sa = bds.slab_axis
+    dev = np.clip(cg[:, sa] // bds.slab_w, 0, bds.n_dev - 1)
 
     nx_l, C_l, cap = eng.lims[0], eng.num_cells, eng.cap
     slots = eng.slots
@@ -160,7 +203,7 @@ def shard_state_bucket(bds: BucketDomainSharding, sys,
     for d in range(bds.n_dev):
         rows = np.where(dev == d)[0]
         cl = cg[rows].copy()
-        cl[:, 0] = cl[:, 0] - (d * bds.slab_w - GHOST)
+        cl[:, sa] = cl[:, sa] - (d * bds.slab_w - GHOST)
         key = cl[:, 0]
         stride = nx_l
         for a in range(1, dim):
@@ -214,14 +257,15 @@ def _from_col_view(eng: NeighborEngine, G: jnp.ndarray,
         (cap * (C + 1),) + rest)
 
 
-def _take_cols(eng, G, c0, w):
-    ax = eng.dim  # x is the last spatial axis of the col view
+def _take_cols(ax, G, c0, w):
+    """Slice ``w`` planes starting at ``c0`` along grid-view axis ``ax``
+    (the slab axis: x columns are the last view axis, y/z planes earlier)."""
     return jax.lax.slice_in_dim(G, c0, c0 + w, axis=ax)
 
 
-def _put_cols(eng, G, block, c0):
+def _put_cols(ax, G, block, c0):
     idx = [0] * G.ndim
-    idx[eng.dim] = c0
+    idx[ax] = c0
     return jax.lax.dynamic_update_slice(G, block.astype(G.dtype), tuple(idx))
 
 
@@ -320,14 +364,15 @@ class BucketShardEngine:
         devices receive zeros."""
         eng = self._eng
         sw = self.bds.slab_w
+        ax = self.bds.grid_axis
         n_dev = self.bds.n_dev
         right_perm = [(i, i + 1) for i in range(n_dev - 1)]
         left_perm = [(i + 1, i) for i in range(n_dev - 1)]
 
         views = {k: _col_view(eng, v) for k, v in tree.items()}
-        send_r = {k: _take_cols(eng, v, GHOST + sw - send_w, send_w)
+        send_r = {k: _take_cols(ax, v, GHOST + sw - send_w, send_w)
                   for k, v in views.items()}
-        send_l = {k: _take_cols(eng, v, GHOST, send_w)
+        send_l = {k: _take_cols(ax, v, GHOST, send_w)
                   for k, v in views.items()}
         recv_from_left = jax.tree.map(
             lambda a: jax.lax.ppermute(a, self.axis, right_perm), send_r)
@@ -345,6 +390,7 @@ class BucketShardEngine:
         columns (one ppermute each way; pure slices)."""
         eng = self._eng
         sw = self.bds.slab_w
+        ax = self.bds.grid_axis
         tree = self._exchange_tree(state)
         recv_l, recv_r = self._exchange_blocks(tree, GHOST)
         act_l = recv_l.pop("__active")
@@ -355,19 +401,19 @@ class BucketShardEngine:
                  for k, v in state.fields.items()}
         for k in recv_l:
             G = _col_view(eng, fields[k])
-            G = _put_cols(eng, G, recv_l[k], 0)
-            G = _put_cols(eng, G, recv_r[k], GHOST + sw)
+            G = _put_cols(ax, G, recv_l[k], 0)
+            G = _put_cols(ax, G, recv_r[k], GHOST + sw)
             fields[k] = _from_col_view(eng, G, trash[k])
         # ghost _xref mirrors ghost x so the drift predicate sees no ghost
         # drift of its own (owners decide)
         Gx = _col_view(eng, fields["_xref"])
-        Gx = _put_cols(eng, Gx, recv_l["x"], 0)
-        Gx = _put_cols(eng, Gx, recv_r["x"], GHOST + sw)
+        Gx = _put_cols(ax, Gx, recv_l["x"], 0)
+        Gx = _put_cols(ax, Gx, recv_r["x"], GHOST + sw)
         fields["_xref"] = _from_col_view(eng, Gx, trash["_xref"])
 
         A = _col_view(eng, state.active)
-        A = _put_cols(eng, A, act_l, 0)
-        A = _put_cols(eng, A, act_r, GHOST + sw)
+        A = _put_cols(ax, A, act_l, 0)
+        A = _put_cols(ax, A, act_r, GHOST + sw)
         active = _from_col_view(eng, A,
                                 self.resident(state.active)[:, eng.num_cells])
         return ParticleState(fields=fields, active=active)
@@ -386,18 +432,16 @@ class BucketShardEngine:
         xs = jnp.where(finite[:, None], x, 0.0)
         cg = (jnp.floor(xs / L).astype(jnp.int32)
               - jnp.asarray(g.phase, dtype=jnp.int32))
-        # y(,z) containment: global bounds; x containment via local columns
+        # containment against the GLOBAL bounds on every axis
         mins = jnp.asarray(g.mins, dtype=x.dtype)
         maxs = jnp.asarray(g.maxs, dtype=x.dtype)
-        inside_yz = jnp.all((x[:, 1:] >= mins[1:]) & (x[:, 1:] <= maxs[1:]),
-                            axis=-1)
-        inside_x = (x[:, 0] >= mins[0]) & (x[:, 0] <= maxs[0])
-        ok = active & jnp.where(finite, inside_yz & inside_x, False)
+        inside = jnp.all((x >= mins) & (x <= maxs), axis=-1)
+        ok = active & jnp.where(finite, inside, False)
 
-        cl = cg.at[:, 0].add(-(d * self.bds.slab_w - GHOST))
-        nx_l = eng.lims[0]
-        in_local = (cl[:, 0] >= 0) & (cl[:, 0] < self.bds.slab_w + 2 * GHOST)
-        owned_col = (cl[:, 0] >= GHOST) & (cl[:, 0] < GHOST + self.bds.slab_w)
+        sa = self.bds.slab_axis
+        cl = cg.at[:, sa].add(-(d * self.bds.slab_w - GHOST))
+        in_local = (cl[:, sa] >= 0) & (cl[:, sa] < self.bds.slab_w + 2 * GHOST)
+        owned_col = (cl[:, sa] >= GHOST) & (cl[:, sa] < GHOST + self.bds.slab_w)
         cl = jnp.clip(cl, 0, jnp.asarray(eng.lims, dtype=jnp.int32) - 1)
         key = jnp.where(ok & in_local, eng.flat_key(cl), eng.num_cells)
         return key.astype(jnp.int32), ok, owned_col
@@ -500,7 +544,8 @@ class BucketShardEngine:
         zero = jax.lax.pcast(jnp.zeros((), jnp.int32), self.axis,
                              to="varying")
         resc = (self._stencil_rescatter
-                if eng.rescatter_mode == "stencil" else self._rescatter)
+                if eng.effective_rescatter_mode == "stencil"
+                else self._rescatter)
         state, overflow = jax.lax.cond(
             need,
             resc,

@@ -121,28 +121,35 @@ def test_bucket_sharded_matches_single_device():
     np.testing.assert_allclose([float(ua), float(um)], u1, rtol=1e-10)
 
 
-@pytest.mark.parametrize("rescatter_mode", ["stencil", "sort"])
-def test_bucket_sharded_migration_conserves(rescatter_mode):
-    """Strong x-wind forces repeated collective rescatters + slab
-    crossings; every migrant must arrive somewhere — under both the
-    stencil (default) and sort-payload collective rescatters."""
+@pytest.mark.parametrize("rescatter_mode,slab_axis",
+                         [("stencil", 0), ("sort", 0),
+                          ("stencil", 1), ("sort", 1)])
+def test_bucket_sharded_migration_conserves(rescatter_mode, slab_axis):
+    """Strong winds force repeated collective rescatters + slab crossings;
+    every migrant must arrive somewhere — under both the stencil (default)
+    and sort-payload collective rescatters, and for both x-slabs and
+    y-slabs (the long axis differs per workload; witch3d slabs y)."""
     import jax.numpy as jnp
     from sph_mountain_waves_tpu import Rectangle, ParticleSystem
     from sph_mountain_waves_tpu.ops.apply import apply_unary
     from sph_mountain_waves_tpu.parallel.bucket import (
         build_bucket_sharding, shard_state_bucket, make_bucket_runner)
 
-    dom = Rectangle(0.0, 0.0, 8.0, 1.0)
+    dom = Rectangle(0.0, 0.0, 8.0, 8.0)
     sys = ParticleSystem(fields={"x": 2, "v": 2}, domain=dom, h=0.25, dim=2,
                          dtype=jnp.float64)
     rng = np.random.default_rng(3)
     xs = np.stack([rng.uniform(1.2, 6.8, size=500),
-                   rng.uniform(0.05, 0.95, size=500)], axis=-1)
-    vs = np.stack([rng.uniform(-1.0, 1.0, size=500), np.zeros(500)], axis=-1)
+                   rng.uniform(1.2, 6.8, size=500)], axis=-1)
+    vs = np.stack([rng.uniform(-1.0, 1.0, size=500),
+                   rng.uniform(-1.0, 1.0, size=500)], axis=-1)
     sys.add_particles(xs, {"v": vs})
-    sys.freeze(layout="bucket", skin=0.3, rescatter_mode=rescatter_mode)
+    # random-walk clustering can exceed the boot-estimated cap (overflow
+    # drops are counted, but this test asserts NO loss) — pin cap high
+    sys.freeze(layout="bucket", skin=0.3, cap=24,
+               rescatter_mode=rescatter_mode)
     mesh = make_mesh(8)
-    bds = build_bucket_sharding(sys, 8)
+    bds = build_bucket_sharding(sys, 8, slab_axis=slab_axis)
     state = shard_state_bucket(bds, sys, mesh)
 
     def make_step(engine):
@@ -187,6 +194,36 @@ def test_bucket_sharded_pallas_composes():
         np.testing.assert_allclose([float(ua), float(um)], u1, rtol=2e-5)
     finally:
         pp._run_pair_kernel = orig
+
+
+def test_bucket_sharded_3d_yslab_matches_single_device():
+    """3-D bucket sharding slabs along y (slab_axis=1): the global nx is a
+    single 128-lane quantum, so x-slabs cannot shrink the local grid, but
+    y rounds to ×8 and scales. Trajectory must match the single-device
+    bucket run (collapse3d dam break, reference sph_jl/examples/collapse3d.jl)."""
+    from sph_mountain_waves_tpu.parallel.bucket import (
+        build_bucket_sharding, shard_state_bucket, make_bucket_runner)
+
+    cfg = c3.Config(dr=0.02, dtype="float64", layout="bucket", skin=0.25)
+    sys1 = c3.make_system(cfg)
+    st1 = sys1.freeze()
+    step1 = jax.jit(c3.make_step(cfg, sys1.engine))
+    for _ in range(6):
+        st1 = step1(st1)
+    u1 = [float(v) for v in velocity_diagnostics(st1)]
+
+    sys2 = c3.make_system(cfg)
+    sys2.freeze()
+    mesh = make_mesh(4)
+    bds = build_bucket_sharding(sys2, 4, slab_axis=1)
+    assert bds.local_lims[1] < sys2.engine.lims[1]  # y actually shrinks
+    state = shard_state_bucket(bds, sys2, mesh)
+    run_frame, diag = make_bucket_runner(
+        bds, mesh, lambda e: c3.make_step(cfg, e), steps_per_frame=6)
+    state = run_frame(state)
+    ua, um, n = diag(state)
+    assert int(n) == sys2.n_built
+    np.testing.assert_allclose([float(ua), float(um)], u1, rtol=1e-10)
 
 
 def test_bucket_sharded_local_memory_shrinks():
