@@ -189,9 +189,18 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
         # band's occupancy: empty slots are skipped entirely. (Chunking the
         # p axis under a second pl.when was measured 2x SLOWER — nested
         # predication defeats Mosaic scheduling. One chunk.)
+        #
+        # The 9 (2-D) / 27 (3-D) stencil contributions of one q slot are
+        # summed in REGISTERS and the VMEM accumulator is touched once per
+        # slot: each pair-body is one long dependency chain (~40 dependent
+        # vector ops), and chaining them through a VMEM `+=` serializes the
+        # whole sweep on op latency (measured F ≈ 126 ns/iteration at
+        # [8,256] blocks, ~6x the ALU cost). Reassociating the sum gives
+        # Mosaic nw·3 independent chains to interleave per slot.
         for kq in range(cap):
             @pl.when(kq < kmax)
             def _(kq=kq):
+                tot = [None] * n_out
                 for w, off in enumerate(wins):
                     rowvalid = jnp.logical_and(jy + off[0] - 1 >= 0,
                                                jy + off[0] - 1 < ny)
@@ -215,7 +224,10 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
                         maskf = mask.astype(jnp.float32)
                         contribs = pair_body(p_all, q_all, r2, maskf)
                         for oi in range(n_out):
-                            accs_ref[oi][:, :] += contribs[oi]
+                            tot[oi] = (contribs[oi] if tot[oi] is None
+                                       else tot[oi] + contribs[oi])
+                for oi in range(n_out):
+                    accs_ref[oi][:, :] += tot[oi]
 
         for oi in range(n_out):
             out_refs[oi][:, :] = accs_ref[oi][:, :]
