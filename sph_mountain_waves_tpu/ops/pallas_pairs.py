@@ -4,8 +4,10 @@ The XLA cell-dense path evaluates every (slot_p, slot_q) pair of the dense
 cap×cap block. These kernels walk the q-slot axis with a **dynamic per-row
 trip count** (scalar-prefetched max occupancy over the row's stencil band),
 skipping empty slots entirely, and stream one grid row per program: the
-3-row (2-D) / 9-row (3-D) halo window of each field is DMA'd HBM→VMEM once
-and all 9/27 stencil offsets are slices of it.
+3-row (2-D) / 9-row (3-D) halo window of each field is DMA'd HBM→VMEM as
+1 (2-D) / 3 (3-D) contiguous 3·nx-wide row spans — rows y−1..y+1 of one
+z-plane are adjacent in the flat row-major cell layout — and all 9/27
+stencil offsets are slices of those spans.
 
 Layout contract (NeighborEngine layout="bucket"): a field is [cap, C+1] with
 C = nx·ny(·nz) flat row-major cells (slot = k·(C+1) + (z·ny+)y·nx + x); a row
@@ -78,22 +80,36 @@ def row_kmax(engine, state):
     return band.astype(jnp.int32), per_row.astype(jnp.int32)
 
 
-def _pad_fields(engine, fields):
-    """[cap, C+1] resident fields → [cap, HALO + C + HALO] with HALO leading
-    zero columns (so window starts stay 128-aligned and in bounds) and a
-    127-column tail: the widest window is the last row's
-    [C − nx, C + nx + 2·HALO) span, and C ≡ 0 (mod 128) by the bucket-layout
-    grid rounding, so HALO + (C+1) + 127 = C + 2·HALO covers it exactly."""
+def _pad_fields(engine, fields, pad_vals=None):
+    """[cap, C+1] resident fields → [cap, (nx+HALO) + C + (nx+HALO)] with
+    nx+HALO leading pad columns and an nx+HALO−1 tail. A program's span
+    for grid row b covers flat columns [(b−1)·nx − HALO, (b+2)·nx + HALO):
+    3 adjacent rows plus the ±1-column halo, 128-aligned start (nx ≡ 0 mod
+    128 by the bucket-grid rounding). The pads absorb b = 0 and b = R−1 —
+    padded start (b·nx) is always ≥ 0 and the widest end lands exactly at
+    the padded width (the loaded pad garbage is occupancy-masked).
+
+    ``pad_vals`` sets the pad value per field (default 0). Masked pad
+    contributions must be EXACTLY zero, which needs every intermediate
+    finite: a zero pad in a smoothing-length field flows through
+    hinv = 1/0 = inf into ker = 0·inf = NaN (rdw(q.h) in the Hopkins
+    momentum), and NaN survives the multiply-mask — so h-like fields pad
+    with their floor, exactly like the in-grid empty slots they imitate."""
     nx = engine.lims[0]
     assert nx % 128 == 0, f"bucket grid nx must be 128-aligned, got {nx}"
-    return [jnp.pad(f, ((0, 0), (HALO, HALO - 1))) for f in fields]
+    if pad_vals is None:
+        pad_vals = [0.0] * len(fields)
+    return [jnp.pad(f, ((0, 0), (nx + HALO, nx + HALO - 1)),
+                    constant_values=v)
+            for f, v in zip(fields, pad_vals)]
 
 
-def _window_offsets(dim):
-    """Row-window offsets DMA'd per program: (dj,) in 2-D, (dj, dk) in 3-D."""
+def _plane_offsets(dim):
+    """Row spans DMA'd per program: one 3-row y-span per stencil z-plane —
+    a single span in 2-D, planes dk ∈ {0,1,2} in 3-D."""
     if dim == 2:
-        return [(dj,) for dj in range(3)]
-    return [(dj, dk) for dk in range(3) for dj in range(3)]
+        return [1]
+    return [0, 1, 2]
 
 
 def _round_up_8(v: int) -> int:
@@ -112,8 +128,8 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
     ny = engine.lims[1]
     h_sys = engine.h
     dim = engine.dim
-    wins = _window_offsets(dim)
-    nw = len(wins)
+    planes = _plane_offsets(dim)
+    nw = len(planes)
     R = _grid_rows(engine)
 
     def kernel(kmax_ref, kmaxp_ref, *refs):
@@ -130,14 +146,22 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
             jy = t % ny
             jz = t // ny
 
-        # Double-buffered row-window DMA: each buffer is [2, cap, W]; grid
-        # step t computes from slot t%2 (issued by step t-1) while issuing
-        # step t+1's windows into slot (t+1)%2 — the HBM streaming of the
-        # next row overlaps this row's VPU sweep. Grid rows execute
+        # Double-buffered row-span DMA: each buffer is [2, cap, W] with
+        # W = 3·nx + 2·HALO — rows y−1..y+1 of one z-plane are contiguous
+        # in the flat layout, so the 3/9 row windows of the old design are
+        # 1/3 spans (9x fewer DMA issues in 3-D, ~4x less VMEM scratch).
+        # Grid step t computes from slot t%2 (issued by step t-1) while
+        # issuing step t+1's spans into slot (t+1)%2 — the HBM streaming of
+        # the next row overlaps this row's VPU sweep. Grid rows execute
         # sequentially on the core, so slot (t+1)%2 was last read at step
-        # t-1 and is free for reuse. Window = flat padded columns
-        # [row*nx, row*nx + nx + 2·HALO).
-        W = nx + 2 * HALO
+        # t-1 and is free for reuse. Span for grid row b = padded columns
+        # [b·nx, b·nx + W): with the nx+HALO leading pad this is flat
+        # [(b−1)·nx − HALO, (b+2)·nx + HALO) — always in bounds, edge rows
+        # read pad/trash garbage that the occupancy mask removes. The
+        # z-plane row is CLAMPED at the z boundary: the whole span then
+        # maps to the wrong plane consistently, and rowvalid masks every
+        # contribution of that plane.
+        W = 3 * nx + 2 * HALO
         cur = t % 2
         nxt = (t + 1) % 2
 
@@ -148,10 +172,10 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
                 jy2 = tt % ny
                 jz2 = tt // ny
             for fi in range(n_in):
-                for w, off in enumerate(wins):
-                    row = jnp.clip(jy2 + off[0] - 1, 0, ny - 1)
+                for w, dk in enumerate(planes):
+                    row = jy2
                     if dim == 3:
-                        rz = jnp.clip(jz2 + off[1] - 1, 0,
+                        rz = jnp.clip(jz2 + dk - 1, 0,
                                       engine.lims[2] - 1)
                         row = row + ny * rz
                     start = pl.multiple_of(row * nx, 128)
@@ -175,9 +199,10 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
                     sems.at[cur, fi, w],
                 ).wait()
 
-        # p-side center row (occ is field 0, x-coords fields 1..dim)
-        wc = wins.index((1,) if dim == 2 else (1, 1))
-        p_all = [bufs[fi * nw + wc][cur, :, HALO:HALO + nx]
+        # p-side center row: middle row (dj=1) of the center plane. Buffer
+        # column of span row dj, cell x is dj·nx + x + HALO.
+        wc = planes.index(1)
+        p_all = [bufs[fi * nw + wc][cur, :, HALO + nx:HALO + 2 * nx]
                  for fi in range(n_in)]
 
         kmax = kmax_ref[t]
@@ -196,36 +221,40 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
         # vector ops), and chaining them through a VMEM `+=` serializes the
         # whole sweep on op latency (measured F ≈ 126 ns/iteration at
         # [8,256] blocks, ~6x the ALU cost). Reassociating the sum gives
-        # Mosaic nw·3 independent chains to interleave per slot.
+        # Mosaic 9/27 independent chains to interleave per slot.
         for kq in range(cap):
             @pl.when(kq < kmax)
             def _(kq=kq):
                 tot = [None] * n_out
-                for w, off in enumerate(wins):
-                    rowvalid = jnp.logical_and(jy + off[0] - 1 >= 0,
-                                               jy + off[0] - 1 < ny)
+                for w, dk in enumerate(planes):
+                    planevalid = True
                     if dim == 3:
-                        rowvalid = jnp.logical_and(
-                            rowvalid,
-                            jnp.logical_and(jz + off[1] - 1 >= 0,
-                                            jz + off[1] - 1 < engine.lims[2]))
-                    for di in range(3):
-                        q_all = [bufs[fi * nw + w][cur, kq,
-                                 HALO - 1 + di:HALO - 1 + di + nx]
-                                 for fi in range(n_in)]
-                        occ_q = (q_all[0] > 0.5) & rowvalid
-                        r2 = (p_all[1] - q_all[1][None, :]) ** 2
-                        for a in range(2, 1 + dim):
-                            r2 = r2 + (p_all[a] - q_all[a][None, :]) ** 2
-                        mask = ((p_all[0] > 0.5) & occ_q[None, :]
-                                & (r2 <= h_sys * h_sys))
-                        if w == wc and di == 1 and not self_pair:
-                            mask = mask & (row_ids != kq)
-                        maskf = mask.astype(jnp.float32)
-                        contribs = pair_body(p_all, q_all, r2, maskf)
-                        for oi in range(n_out):
-                            tot[oi] = (contribs[oi] if tot[oi] is None
-                                       else tot[oi] + contribs[oi])
+                        planevalid = jnp.logical_and(
+                            jz + dk - 1 >= 0, jz + dk - 1 < engine.lims[2])
+                    for dj in range(3):
+                        rowvalid = jnp.logical_and(jy + dj - 1 >= 0,
+                                                   jy + dj - 1 < ny)
+                        if dim == 3:
+                            rowvalid = jnp.logical_and(rowvalid, planevalid)
+                        for di in range(3):
+                            base = HALO + dj * nx - 1 + di
+                            q_all = [bufs[fi * nw + w][cur, kq,
+                                                       base:base + nx]
+                                     for fi in range(n_in)]
+                            occ_q = (q_all[0] > 0.5) & rowvalid
+                            r2 = (p_all[1] - q_all[1][None, :]) ** 2
+                            for a in range(2, 1 + dim):
+                                r2 = r2 + (p_all[a] - q_all[a][None, :]) ** 2
+                            mask = ((p_all[0] > 0.5) & occ_q[None, :]
+                                    & (r2 <= h_sys * h_sys))
+                            if w == wc and dj == 1 and di == 1 \
+                                    and not self_pair:
+                                mask = mask & (row_ids != kq)
+                            maskf = mask.astype(jnp.float32)
+                            contribs = pair_body(p_all, q_all, r2, maskf)
+                            for oi in range(n_out):
+                                tot[oi] = (contribs[oi] if tot[oi] is None
+                                           else tot[oi] + contribs[oi])
                 for oi in range(n_out):
                     accs_ref[oi][:, :] += tot[oi]
 
@@ -236,15 +265,19 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
 
 
 def _run_pair_kernel(engine, state, fields, pair_body, n_out, self_pair,
-                     interpret=False):
+                     interpret=False, pad_vals=None):
     nx = engine.lims[0]
     cap = engine.cap
     C = engine.num_cells
     R = _grid_rows(engine)
     occf = engine.resident(state.active).astype(jnp.float32)
-    ins = _pad_fields(engine, [occf] + fields)
+    if pad_vals is not None:
+        assert len(pad_vals) == len(fields), \
+            f"pad_vals has {len(pad_vals)} entries for {len(fields)} fields"
+        pad_vals = [0.0] + list(pad_vals)  # occ pads 0 (= unoccupied)
+    ins = _pad_fields(engine, [occf] + fields, pad_vals)
     n_in = len(ins)
-    nw = len(_window_offsets(engine.dim))
+    nw = len(_plane_offsets(engine.dim))
     kmax, kmaxp = row_kmax(engine, state)
 
     # Mosaic requires memref row counts aligned to the f32 sublane tile (8):
@@ -263,7 +296,8 @@ def _run_pair_kernel(engine, state, fields, pair_body, n_out, self_pair,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
         out_specs=[pl.BlockSpec((cap_pad, nx), lambda t, kmax, kmaxp: (0, t),
                                 memory_space=pltpu.VMEM)] * n_out,
-        scratch_shapes=[pltpu.VMEM((2, cap_pad, nx + 2 * HALO), jnp.float32)
+        scratch_shapes=[pltpu.VMEM((2, cap_pad, 3 * nx + 2 * HALO),
+                                   jnp.float32)
                         for _ in range(nw * n_in)]
         + [pltpu.VMEM((cap_pad, nx), jnp.float32) for _ in range(n_out)]
         + [pltpu.SemaphoreType.DMA((2, n_in, nw))],
@@ -324,6 +358,10 @@ def weighted_w_pass(engine, state, cfg, weight, ker_h: str = "p",
         coords, hB = _resident_xhm(engine, state, _hfloor(engine))
         fields_h = coords + [hB]
     wB = engine.resident(weight)
+    # edge-row spans read pad columns: h pads with its floor (a zero h
+    # NaN-poisons via 1/h — see _pad_fields), everything else with 0
+    pad_vals = ([0.0] * d + [0.0 if ker_h == "p" else _hfloor(engine)]
+                + [0.0])
 
     def body(p_all, q_all, r2, maskf):
         wq = q_all[2 + d]
@@ -341,7 +379,8 @@ def weighted_w_pass(engine, state, cfg, weight, ker_h: str = "p",
         return [maskf * wq[None, :] * ker]
 
     (out,) = _run_pair_kernel(engine, state, fields_h + [wB], body, 1,
-                              self_pair=cfg.self_density, interpret=interpret)
+                              self_pair=cfg.self_density, interpret=interpret,
+                              pad_vals=pad_vals)
     return out
 
 
@@ -430,8 +469,10 @@ def momentum_pass(engine, state, cfg, interpret=False):
                          + (dot < 0.0).astype(jnp.float32) * pi_ij)
         return [s * dx[a] for a in range(d)]
 
+    pad_vals = [0.0] * d + [_hfloor(engine)] + [0.0] * (4 + d)
     return _run_pair_kernel(engine, state, fields, body, d,
-                            self_pair=False, interpret=interpret)
+                            self_pair=False, interpret=interpret,
+                            pad_vals=pad_vals)
 
 
 def hopkins_momentum_pass(engine, state, cfg, background_split: bool,
@@ -503,8 +544,11 @@ def hopkins_momentum_pass(engine, state, cfg, background_split: bool,
         s = s + visc
         return [s * dx[a] for a in range(d)]
 
+    pad_vals = ([0.0] * d + [_hfloor(engine)]
+                + [0.0] * (len(hoisted)))
     return _run_pair_kernel(engine, state, fields, body, d,
-                            self_pair=False, interpret=interpret)
+                            self_pair=False, interpret=interpret,
+                            pad_vals=pad_vals)
 
 
 # ------------------------------------------------------------- dam break
@@ -614,8 +658,10 @@ def pavelka_mass_pass(engine, state, cfg, interpret=False):
             diff = div(2.0 * nu, rhop) * (rhop - rhoq) * maskf
         return [conv + both * diff]
 
+    pad_vals = [0.0] * d + [_hfloor(engine)] + [0.0] * len(hoisted)
     (out,) = _run_pair_kernel(engine, state, fields, body, 1,
-                              self_pair=False, interpret=interpret)
+                              self_pair=False, interpret=interpret,
+                              pad_vals=pad_vals)
     return out
 
 
@@ -670,5 +716,11 @@ def pavelka_momentum_entropy_pass(engine, state, cfg, interpret=False):
                   r2 + 0.01 * hp * hq) * dt) * both
         return [s * dx[a] for a in range(d)] + [dS]
 
+    # rho pads with its floor: it sits in the rhop·rhoq and Tp·rhoq
+    # denominators, and 0·ker/0 = 0/0 = NaN even under the mask
+    pad_vals = ([0.0] * d + [_hfloor(engine)]              # coords, h
+                + [0.0] * (1 + d)                          # m, v
+                + [cfg.rho_floor] + [0.0] * 4)             # rho, wq, Pt, T, fl
     return _run_pair_kernel(engine, state, fields, body, d + 1,
-                            self_pair=False, interpret=interpret)
+                            self_pair=False, interpret=interpret,
+                            pad_vals=pad_vals)

@@ -68,7 +68,7 @@ def test_row_kmax_band():
 
 
 def _scheme_pallas_vs_xla(module, make_cfg, n_steps=8, rel=1e-5):
-    outs = {}
+    outs, counts = {}, {}
     for up in (False, True):
         cfg = make_cfg(up)
         sys_ = module.make_system(cfg)
@@ -77,6 +77,11 @@ def _scheme_pallas_vs_xla(module, make_cfg, n_steps=8, rel=1e-5):
         for _ in range(n_steps):
             state = step(state)
         outs[up] = [float(v) for v in velocity_diagnostics(state)]
+        counts[up] = int(np.asarray(state.active).sum())
+    # a NaN anywhere in the pallas path shows up as rebuild's failure screen
+    # silently dropping particles (caught a 0·inf edge-row poisoning once) —
+    # the count must match exactly, not just the velocity diagnostics
+    assert counts[True] == counts[False]
     assert np.all(np.isfinite(outs[True])) and np.all(np.isfinite(outs[False]))
     assert outs[True][0] == pytest.approx(outs[False][0], rel=rel)
     assert outs[True][1] == pytest.approx(outs[False][1], rel=rel)
