@@ -3,11 +3,13 @@
 The XLA cell-dense path evaluates every (slot_p, slot_q) pair of the dense
 cap×cap block. These kernels walk the q-slot axis with a **dynamic per-row
 trip count** (scalar-prefetched max occupancy over the row's stencil band),
-skipping empty slots entirely, and stream one grid row per program: the
-3-row (2-D) / 9-row (3-D) halo window of each field is DMA'd HBM→VMEM as
-1 (2-D) / 3 (3-D) contiguous 3·nx-wide row spans — rows y−1..y+1 of one
-z-plane are adjacent in the flat row-major cell layout — and all 9/27
-stencil offsets are slices of those spans.
+skipping empty slots entirely, and stream ``rp`` grid rows per program
+(rp ∈ {1, 2, 4}, auto-chosen to fill VMEM — wider [cap, rp·nx] blocks
+amortize VPU op-issue latency and cut program/DMA counts): the halo window
+of each field is DMA'd HBM→VMEM as 1 (2-D) / 3 (3-D) contiguous
+(rp+2)·nx-wide row spans — rows y−1..y+rp of one z-plane are adjacent in
+the flat row-major cell layout — and all 9/27 stencil offsets are slices
+of those spans.
 
 Layout contract (NeighborEngine layout="bucket"): a field is [cap, C+1] with
 C = nx·ny(·nz) flat row-major cells (slot = k·(C+1) + (z·ny+)y·nx + x); a row
@@ -47,6 +49,38 @@ __all__ = [
 ]
 
 HALO = 128  # DMA slice starts must be 128-lane aligned on TPU
+
+# Rows-per-program override for experiments (None = auto heuristic).
+# Stacking RP adjacent grid rows into one program widens every VPU op from
+# [cap, nx] to [cap, RP·nx] (amortizing vector-op issue latency over more
+# tiles — the 3-D sweep at nx=384 is op-latency-bound), cuts the program
+# count RP×, and shrinks span-DMA overlap traffic ((RP+2)/RP rows fetched
+# per row computed instead of 3).
+ROWS_PER_PROGRAM = None
+
+_VMEM_SCRATCH_BUDGET = 12 * 2**20  # bytes; old windowed design ran at ~12 MB
+
+
+def _rows_per_program(engine, n_in, n_out, cap_pad):
+    """Largest rp ∈ {4, 2, 1} that divides the y-row count (programs must
+    not straddle z-planes: rp | ny keeps jz constant per program; in 2-D
+    R = ny) and fits the double-buffered span scratch in VMEM."""
+    if ROWS_PER_PROGRAM is not None:
+        rp = int(ROWS_PER_PROGRAM)
+        candidates = [rp]
+    else:
+        candidates = [4, 2]
+    nx, ny = engine.lims[0], engine.lims[1]
+    nw = len(_plane_offsets(engine.dim))
+    for rp in candidates:
+        if ny % rp != 0:
+            continue
+        W = (rp + 2) * nx + 2 * HALO
+        scratch = (nw * n_in * 2 * cap_pad * W
+                   + 3 * n_out * cap_pad * rp * nx) * 4
+        if scratch <= _VMEM_SCRATCH_BUDGET:
+            return rp
+    return 1
 
 
 def _grid_rows(engine):
@@ -116,13 +150,15 @@ def _round_up_8(v: int) -> int:
     return -(-v // 8) * 8
 
 
-def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
+def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap, rp):
     """Build a pallas kernel for one pair sweep.
 
-    pair_body(p_fields, q_fields, r2, maskf) -> list of [cap, nx] contribs,
-    each already multiplied by maskf. p_fields[i] is [cap, nx] (center row),
-    q_fields[i] is [nx] (one q slot row, broadcastable). ``cap`` is the
-    8-aligned row count of the (possibly padded) input buffers.
+    pair_body(p_fields, q_fields, r2, maskf) -> list of [cap, rp·nx]
+    contribs, each already multiplied by maskf. p_fields[i] is [cap, rp·nx]
+    (rp stacked center rows), q_fields[i] is [rp·nx] (one q slot's stacked
+    rows, broadcastable). ``cap`` is the 8-aligned row count of the
+    (possibly padded) input buffers; ``rp`` grid rows are computed per
+    program (rp | ny, so a program never straddles a z-plane).
     """
     nx = engine.lims[0]
     ny = engine.lims[1]
@@ -131,6 +167,7 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
     planes = _plane_offsets(dim)
     nw = len(planes)
     R = _grid_rows(engine)
+    nxr = rp * nx
 
     def kernel(kmax_ref, kmaxp_ref, *refs):
         in_refs = refs[:n_in]
@@ -140,11 +177,12 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
                         n_in + n_out + nw * n_in + n_out]
         sems = refs[-1]
         t = pl.program_id(0)
+        b0 = t * rp
         if dim == 2:
-            jy = t
+            jy = b0
         else:
-            jy = t % ny
-            jz = t // ny
+            jy = b0 % ny
+            jz = b0 // ny
 
         # Double-buffered row-span DMA: each buffer is [2, cap, W] with
         # W = 3·nx + 2·HALO — rows y−1..y+1 of one z-plane are contiguous
@@ -154,23 +192,25 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
         # issuing step t+1's spans into slot (t+1)%2 — the HBM streaming of
         # the next row overlaps this row's VPU sweep. Grid rows execute
         # sequentially on the core, so slot (t+1)%2 was last read at step
-        # t-1 and is free for reuse. Span for grid row b = padded columns
-        # [b·nx, b·nx + W): with the nx+HALO leading pad this is flat
-        # [(b−1)·nx − HALO, (b+2)·nx + HALO) — always in bounds, edge rows
-        # read pad/trash garbage that the occupancy mask removes. The
+        # t-1 and is free for reuse. Span for a program's first grid row b0
+        # = padded columns [b0·nx, b0·nx + W) with W = (rp+2)·nx + 2·HALO:
+        # with the nx+HALO leading pad this is flat
+        # [(b0−1)·nx − HALO, (b0+rp+1)·nx + HALO) — always in bounds, edge
+        # rows read pad/trash garbage that the occupancy mask removes. The
         # z-plane row is CLAMPED at the z boundary: the whole span then
         # maps to the wrong plane consistently, and rowvalid masks every
         # contribution of that plane.
-        W = 3 * nx + 2 * HALO
+        W = (rp + 2) * nx + 2 * HALO
         cur = t % 2
         nxt = (t + 1) % 2
 
         def issue(tt, slot):
+            bb = tt * rp
             if dim == 2:
-                jy2, jz2 = tt, None
+                jy2, jz2 = bb, None
             else:
-                jy2 = tt % ny
-                jz2 = tt // ny
+                jy2 = bb % ny
+                jz2 = bb // ny
             for fi in range(n_in):
                 for w, dk in enumerate(planes):
                     row = jy2
@@ -188,7 +228,7 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
         @pl.when(t == 0)
         def _():
             issue(t, cur)
-        @pl.when(t + 1 < R)
+        @pl.when(t + 1 < R // rp)
         def _():
             issue(t + 1, nxt)
         for fi in range(n_in):
@@ -199,16 +239,22 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
                     sems.at[cur, fi, w],
                 ).wait()
 
-        # p-side center row: middle row (dj=1) of the center plane. Buffer
-        # column of span row dj, cell x is dj·nx + x + HALO.
+        # p-side center rows: span rows 1..rp (the program's own rows).
+        # Buffer column of span row dj, cell x is dj·nx + x + HALO.
         wc = planes.index(1)
-        p_all = [bufs[fi * nw + wc][cur, :, HALO + nx:HALO + 2 * nx]
+        p_all = [bufs[fi * nw + wc][cur, :, HALO + nx:HALO + nx + nxr]
                  for fi in range(n_in)]
 
         kmax = kmax_ref[t]
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, nx), 0)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, nxr), 0)
+        if rp > 1:
+            # stacked-column index: sub-row s covers cols [s·nx, (s+1)·nx),
+            # so per-sub-row q-row validity (jy+s+dj−1 ∈ [0, ny)) is two
+            # comparisons of col against nx-multiple thresholds — no
+            # integer division, no captured constants
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, nxr), 1)
         for oi in range(n_out):
-            accs_ref[oi][:, :] = jnp.zeros((cap, nx), jnp.float32)
+            accs_ref[oi][:, :] = jnp.zeros((cap, nxr), jnp.float32)
 
         # static unroll over q slots, runtime-predicated on the stencil
         # band's occupancy: empty slots are skipped entirely. (Chunking the
@@ -232,20 +278,26 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap):
                         planevalid = jnp.logical_and(
                             jz + dk - 1 >= 0, jz + dk - 1 < engine.lims[2])
                     for dj in range(3):
-                        rowvalid = jnp.logical_and(jy + dj - 1 >= 0,
-                                                   jy + dj - 1 < ny)
+                        if rp == 1:
+                            rowvalid = jnp.logical_and(jy + dj - 1 >= 0,
+                                                       jy + dj - 1 < ny)
+                        else:
+                            # per-column: sub-row s's q row is jy+s+dj−1;
+                            # valid ⟺ col ∈ [(1−dj−jy)·nx, (ny−jy−dj+1)·nx)
+                            rowvalid = ((col >= (1 - dj - jy) * nx)
+                                        & (col < (ny - jy - dj + 1) * nx))
                         if dim == 3:
                             rowvalid = jnp.logical_and(rowvalid, planevalid)
                         for di in range(3):
                             base = HALO + dj * nx - 1 + di
                             q_all = [bufs[fi * nw + w][cur, kq,
-                                                       base:base + nx]
+                                                       base:base + nxr]
                                      for fi in range(n_in)]
-                            occ_q = (q_all[0] > 0.5) & rowvalid
+                            occ_q = (q_all[0] > 0.5)[None, :] & rowvalid
                             r2 = (p_all[1] - q_all[1][None, :]) ** 2
                             for a in range(2, 1 + dim):
                                 r2 = r2 + (p_all[a] - q_all[a][None, :]) ** 2
-                            mask = ((p_all[0] > 0.5) & occ_q[None, :]
+                            mask = ((p_all[0] > 0.5) & occ_q
                                     & (r2 <= h_sys * h_sys))
                             if w == wc and dj == 1 and di == 1 \
                                     and not self_pair:
@@ -288,18 +340,25 @@ def _run_pair_kernel(engine, state, fields, pair_body, n_out, self_pair,
     if cap_pad != cap:
         ins = [jnp.pad(f, ((0, cap_pad - cap), (0, 0))) for f in ins]
 
+    rp = _rows_per_program(engine, n_in, n_out, cap_pad)
+    if rp > 1:
+        # a program's q-slot trip bound is the max over its rp rows' bands
+        kmax = kmax.reshape(R // rp, rp).max(axis=1)
+        kmaxp = kmaxp.reshape(R // rp, rp).max(axis=1)
     kernel = _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair,
-                               cap_pad)
+                               cap_pad, rp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(R,),
+        grid=(R // rp,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
-        out_specs=[pl.BlockSpec((cap_pad, nx), lambda t, kmax, kmaxp: (0, t),
+        out_specs=[pl.BlockSpec((cap_pad, rp * nx),
+                                lambda t, kmax, kmaxp: (0, t),
                                 memory_space=pltpu.VMEM)] * n_out,
-        scratch_shapes=[pltpu.VMEM((2, cap_pad, 3 * nx + 2 * HALO),
+        scratch_shapes=[pltpu.VMEM((2, cap_pad, (rp + 2) * nx + 2 * HALO),
                                    jnp.float32)
                         for _ in range(nw * n_in)]
-        + [pltpu.VMEM((cap_pad, nx), jnp.float32) for _ in range(n_out)]
+        + [pltpu.VMEM((cap_pad, rp * nx), jnp.float32)
+           for _ in range(n_out)]
         + [pltpu.SemaphoreType.DMA((2, n_in, nw))],
     )
     outs = pl.pallas_call(

@@ -36,6 +36,25 @@ def test_density_kernel_matches_xla(interpret_kernels):
     np.testing.assert_allclose(got[act], ref[act], rtol=1e-5, atol=1e-6)
 
 
+def test_rows_per_program_stacking(interpret_kernels, monkeypatch):
+    """rp grid rows stacked into one program ([cap, rp·nx] blocks) must be
+    bit-identical to the one-row kernel — exercises the per-sub-row q-row
+    validity masking and the grouped kmax trip bound."""
+    cfg = WitchConfig(n_rows=10, dtype="float32", self_density=True,
+                      layout="bucket", skin=0.2)
+    sys_ = w.make_system(cfg)
+    state = sys_.freeze()
+    eng = sys_.engine
+    state, nbrs = jax.jit(eng.rebuild)(state)
+    outs = {}
+    for rp in (1, 2, 4):
+        assert eng.lims[1] % rp == 0, "test grid must divide evenly"
+        monkeypatch.setattr(pp, "ROWS_PER_PROGRAM", rp)
+        outs[rp] = np.asarray(pp.density_pass(eng, state, cfg))
+    np.testing.assert_array_equal(outs[2], outs[1])
+    np.testing.assert_array_equal(outs[4], outs[1])
+
+
 def test_full_step_pallas_matches_xla(interpret_kernels):
     outs = {}
     for up in (False, True):
