@@ -12,10 +12,14 @@ publishes no throughput numbers — BASELINE.md).
 
 Robustness contract (VERDICT round 1): the axon TPU tunnel can throw
 backend-level JaxRuntimeError/FailedPrecondition at any point (flakes,
-device held by another process). The whole build+run is retried with
-backoff, falls back Pallas->XLA, then to a CPU subprocess at small N, and
-a JSON line is emitted on EVERY exit path with rc=0 so the driver always
-records a parsed result.
+device held by another process) — and a fully DOWN tunnel makes jax
+backend init HANG indefinitely rather than fail. The orchestrating parent
+therefore never initializes jax itself: it probes the tunnel in a
+subprocess with a hard timeout, runs every measurement attempt in a
+subprocess with a hard timeout (Pallas first, then pure-XLA), falls back
+to a CPU subprocess at small N, and emits a JSON line on EVERY exit path
+with rc=0 so the driver always records a parsed result — bounded overall
+by --budget seconds of wall clock.
 
 Usage: python bench.py [--particles 1000000] [--steps 20] [--repeats 3]
 """
@@ -54,6 +58,10 @@ def parse_args(argv=None):
                          "200 steps at 1M — BENCHMARKS.md)")
     ap.add_argument("--force-cpu", action="store_true",
                     help="run on the local CPU backend (fallback mode)")
+    ap.add_argument("--attempt", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--budget", type=float, default=4200.0,
+                    help="total wall-clock budget (s) for the orchestrating "
+                         "parent: probes + attempts + CPU fallback")
     return ap.parse_args(argv)
 
 
@@ -115,8 +123,43 @@ def emit(best: float, n, kind: str, note: str = "") -> None:
     }))
 
 
+def _forward_json(stdout: str) -> bool:
+    """Find the contractual JSON line in a child's stdout and reprint it."""
+    for line in stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"vs_baseline"' in line:
+            print(line)
+            return True
+    return False
+
+
+def _probe_tpu(timeout_s: float = 150.0) -> bool:
+    """True iff an accelerator backend initializes and computes, within a
+    hard subprocess timeout (a down axon tunnel HANGS jax init — it does
+    not fail fast, so this must never run in the parent process)."""
+    code = ("import jax, jax.numpy as jnp\n"
+            "assert jax.devices()[0].platform != 'cpu', jax.devices()\n"
+            "print(float(jnp.sum(jnp.ones((8, 128)))))\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s, check=False)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _attempt_cmd(args, use_pallas: bool) -> list:
+    return [sys.executable, os.path.abspath(__file__), "--attempt",
+            "--particles", str(args.particles), "--steps", str(args.steps),
+            "--repeats", str(args.repeats), "--skin", str(args.skin),
+            "--pallas" if use_pallas else "--no-pallas",
+            "--self-density" if args.self_density else "--no-self-density",
+            "--fast-math" if args.fast_math else "--no-fast-math"]
+
+
 def main() -> None:
     args = parse_args()
+    t_end = time.time() + args.budget
 
     if args.force_cpu:
         # fallback subprocess mode: must reconfigure before backend init
@@ -124,51 +167,91 @@ def main() -> None:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    # Retry schedule: (use_pallas, sleep_before_s). Backend-level tunnel
-    # flakes (FailedPrecondition, Mosaic remote-compile HTTP 500) get fresh
-    # attempts after growing backoff — the Pallas path is ~5x the XLA path,
-    # so it is worth several retries before falling back to pure XLA.
-    schedule = [(args.pallas, 0), (args.pallas, 30), (args.pallas, 90),
-                (args.pallas, 180), (False, 30), (False, 60)]
-    if not args.pallas:
-        schedule = [(False, 0), (False, 15), (False, 60)]
+    if args.attempt or args.force_cpu:
+        # Child mode: one in-process build+run per (pallas, sleep) retry.
+        # CPU-backend flakes don't exist, so force_cpu keeps a short local
+        # schedule; --attempt children get exactly one shot (the parent
+        # owns the retry/backoff policy and the watchdog timeouts).
+        schedule = [(args.pallas and not args.force_cpu, 0)]
+        if args.force_cpu:
+            schedule = [(False, 0), (False, 15), (False, 60)]
+        last_err = None
+        for use_pallas, sleep_s in schedule:
+            if sleep_s:
+                time.sleep(sleep_s)
+            try:
+                best, n, kind = run_once(args, use_pallas)
+                emit(best, n, kind, "" if use_pallas else "xla-path")
+                return
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+                print(f"bench attempt failed (pallas={use_pallas}): "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+        if args.attempt:
+            sys.exit(1)  # parent decides what happens next
+        emit(0.0, 0, "unavailable",
+             f"all attempts failed: {type(last_err).__name__}")
+        return
 
-    last_err = None
-    for use_pallas, sleep_s in schedule:
-        if sleep_s:
-            time.sleep(sleep_s)
-        try:
-            best, n, kind = run_once(args, use_pallas)
-            emit(best, n, kind, "" if use_pallas else "xla-path")
+    # ---- parent: never touches jax; every jax process is under a timeout.
+    last_note = "tpu probe never succeeded"
+    tpu_up = False
+    for sleep_s in (0, 30, 60, 120, 180):
+        if time.time() + sleep_s > t_end - 900:
+            break  # keep enough budget for the CPU fallback
+        time.sleep(sleep_s)
+        if _probe_tpu():
+            tpu_up = True
+            break
+        print("tpu probe failed (down tunnel or hung init)", file=sys.stderr)
+
+    if tpu_up:
+        # Pallas is ~5x the XLA path — worth several retries (tunnel
+        # flakes, Mosaic remote-compile HTTP 500) before downgrading.
+        schedule = [(args.pallas, 0), (args.pallas, 30), (args.pallas, 120),
+                    (False, 30), (False, 60)]
+        if not args.pallas:
+            schedule = [(False, 0), (False, 15), (False, 60)]
+        for use_pallas, sleep_s in schedule:
+            remaining = t_end - time.time() - 900
+            if remaining < 120:
+                last_note = "budget exhausted"
+                break
+            time.sleep(min(sleep_s, remaining))
+            try:
+                r = subprocess.run(_attempt_cmd(args, use_pallas),
+                                   capture_output=True, text=True,
+                                   timeout=min(2400.0, remaining),
+                                   check=False)
+            except (subprocess.TimeoutExpired, OSError) as e:
+                print(f"attempt watchdog fired (pallas={use_pallas}): "
+                      f"{type(e).__name__}", file=sys.stderr)
+                last_note = "attempt timeout"
+                continue
+            sys.stderr.write(r.stderr[-2000:])
+            if r.returncode == 0 and _forward_json(r.stdout):
+                return
+            last_note = f"attempt rc={r.returncode}"
+
+    # Accelerator unusable: measure on local CPU in a fresh process at
+    # small N so the driver still records a real (if modest) number.
+    try:
+        cmd = [sys.executable, os.path.abspath(__file__), "--force-cpu",
+               "--particles", "25000", "--steps", "10", "--repeats", "2",
+               "--no-pallas"]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=max(120.0, t_end - time.time()),
+                             check=False)
+        if _forward_json(out.stdout):
             return
-        except Exception as e:  # noqa: BLE001 — contract: never die silently
-            last_err = e
-            print(f"bench attempt failed (pallas={use_pallas}): "
-                  f"{type(e).__name__}: {e}", file=sys.stderr)
-
-    if not args.force_cpu:
-        # Accelerator unusable: measure on local CPU in a fresh process at
-        # small N so the driver still records a real (if modest) number.
-        try:
-            cmd = [sys.executable, os.path.abspath(__file__), "--force-cpu",
-                   "--particles", "25000", "--steps", "10", "--repeats", "2",
-                   "--no-pallas"]
-            out = subprocess.run(cmd, capture_output=True, text=True,
-                                 timeout=1800, check=False)
-            for line in out.stdout.splitlines():
-                line = line.strip()
-                if line.startswith("{") and '"vs_baseline"' in line:
-                    print(line)
-                    return
-            print(f"cpu fallback produced no JSON (rc={out.returncode}): "
-                  f"{out.stderr[-500:]}", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            print(f"cpu fallback failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
+        print(f"cpu fallback produced no JSON (rc={out.returncode}): "
+              f"{out.stderr[-500:]}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"cpu fallback failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
     # ultimate fallback: a diagnostic JSON line, still rc=0
-    emit(0.0, 0, "unavailable",
-         f"all attempts failed: {type(last_err).__name__}")
+    emit(0.0, 0, "unavailable", last_note)
 
 
 if __name__ == "__main__":
