@@ -81,6 +81,11 @@ class Config:
         return self.nu / self.Pr
 
     @property
+    def mu(self) -> float:
+        """dynamic viscosity (consumed by the shared dambreak_force_pass)."""
+        return self.nu * self.rho0
+
+    @property
     def m(self) -> float:
         return self.rho0 * self.dr**2
 
@@ -123,7 +128,7 @@ def make_system(cfg: Config) -> ParticleSystem:
 def make_step(cfg: Config, engine):
     dt, m, c, rho0 = cfg.dt, cfg.m, cfg.c, cfg.rho0
     h = cfg.h
-    mu = cfg.nu * cfg.rho0         # dynamic viscosity
+    mu = cfg.mu                    # dynamic viscosity
     T_ref = 0.5 * (cfg.T_hot + cfg.T_cold)
 
     def balance_of_mass(p, q, r):
@@ -164,16 +169,36 @@ def make_step(cfg: Config, engine):
         acc = u.Dv + jnp.stack([jnp.zeros_like(buoy), buoy], axis=-1)
         return {"v": jnp.where(fluid, u.v + 0.5 * dt * acc, u.v)}
 
+    use_pallas = cfg.use_pallas and getattr(engine, "layout", "flat") == "bucket"
+    if use_pallas:
+        from ..ops.pallas_pairs import dambreak_force_pass, rb_mass_heat_pass
+
     def step(state: ParticleState) -> ParticleState:
         state = apply_unary(state, accelerate)
         state = apply_unary(state, move)
         state, nbrs = engine.rebuild(state)
-        state = apply_binary(engine, state, nbrs, balance_of_mass)
-        state = apply_binary(engine, state, nbrs, heat_conduction)
+        if use_pallas:
+            drho, dT = rb_mass_heat_pass(engine, state, cfg)
+            f = state.fields
+            fluid = f["type"] == FLUID
+            state = state.replace(
+                Drho=jnp.where(state.active, f["Drho"] + drho, 0.0),
+                DT=jnp.where(state.active & fluid, f["DT"] + dT, 0.0))
+        else:
+            state = apply_binary(engine, state, nbrs, balance_of_mass)
+            state = apply_binary(engine, state, nbrs, heat_conduction)
         state = apply_unary(state, find_pressure)
         state = apply_unary(state, move)
         state, nbrs = engine.rebuild(state)
-        state = apply_binary(engine, state, nbrs, internal_force)
+        if use_pallas:
+            # same fluid-gated symmetric P/ρ² + viscous sweep as the dam
+            # break — shared kernel (cfg exposes m/h/mu/rho0, FLUID == 0)
+            dv = dambreak_force_pass(engine, state, cfg)
+            Dv = state.fields["Dv"] + jnp.stack(dv, axis=-1)
+            state = state.replace(
+                Dv=jnp.where(state.active[:, None], Dv, 0.0))
+        else:
+            state = apply_binary(engine, state, nbrs, internal_force)
         state = apply_unary(state, accelerate)
         return state
 

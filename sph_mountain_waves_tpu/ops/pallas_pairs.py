@@ -672,6 +672,45 @@ def dambreak_force_pass(engine, state, cfg, interpret=False):
                             self_pair=False, interpret=interpret)
 
 
+# ------------------------------------------------------ Rayleigh-Bénard
+
+def rb_mass_heat_pass(engine, state, cfg, interpret=False):
+    """Continuity + Cleary–Monaghan conduction fused into one sweep
+    (models/rayleigh_benard.py balance_of_mass/heat_conduction closures;
+    continuity form per collapse_dry.jl:112-115):
+
+      Drho = Σ m·rDw(h,r)·(x_pq·v_pq)
+      DT   = Σ 2·m·κ/(ρ_p ρ_q)·rDw(h,r)·(T_p−T_q)
+
+    Fixed scalar h folds the kernel into a divide-free polynomial; 1/ρ is
+    hoisted per particle (ρ floored at 1% ρ0 — inactive rows carry ρ=0).
+    Returns raw pair sums in flat slot order; the caller applies the
+    p-side FLUID gate on DT (a p-constant factor) and the active mask."""
+    f = state.fields
+    d = engine.dim
+    rinv = 1.0 / jnp.maximum(f["rho"], 0.01 * cfg.rho0)
+    coords = [engine.resident(f["x"][:, a]) for a in range(d)]
+    fields = coords + [engine.resident(a) for a in
+                       [f["v"][:, a] for a in range(d)] + [f["T"], rinv]]
+    kc = cfg.m * _rdw_const(d) / cfg.h ** (d + 2)
+    hinv = 1.0 / cfg.h
+    twokap = 2.0 * cfg.kappa
+
+    def body(p_all, q_all, r2, maskf):
+        r = jnp.sqrt(r2)
+        t = jnp.maximum(1.0 - r * hinv, 0.0) * maskf
+        ker = kc * t * t * t
+        dx = [p_all[1 + a] - q_all[1 + a][None, :] for a in range(d)]
+        dv = [p_all[1 + d + a] - q_all[1 + d + a][None, :] for a in range(d)]
+        dot = sum(dx[a] * dv[a] for a in range(d))
+        dT = p_all[1 + 2 * d] - q_all[1 + 2 * d][None, :]
+        rr = p_all[2 + 2 * d] * q_all[2 + 2 * d][None, :]
+        return [ker * dot, twokap * rr * ker * dT]
+
+    return _run_pair_kernel(engine, state, fields, body, 2,
+                            self_pair=False, interpret=interpret)
+
+
 # --------------------------------------------------------------- pavelka
 
 def pavelka_mass_pass(engine, state, cfg, interpret=False):

@@ -164,6 +164,30 @@ def test_collapse3d_pallas_matches_xla(interpret_kernels):
     np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4)
 
 
+def test_rayleigh_benard_pallas_matches_xla(interpret_kernels):
+    # fused continuity+conduction pass and the shared dam-break force pass
+    from sph_mountain_waves_tpu.models import rayleigh_benard as rb
+    outs, counts = {}, {}
+    for up in (False, True):
+        cfg = rb.Config(n_rows=16, dtype="float32", layout="bucket",
+                        skin=0.2, use_pallas=up)
+        sys_ = rb.make_system(cfg)
+        state = sys_.freeze()
+        step = jax.jit(rb.make_step(cfg, sys_.engine))
+        for _ in range(6):
+            state = step(state)
+        act = np.asarray(state.active)
+        v = np.asarray(state.fields["v"])[act]
+        T = np.asarray(state.fields["T"])[act]
+        rho = np.asarray(state.fields["rho"])[act]
+        outs[up] = [float(np.abs(v).mean()), float(np.abs(v).max()),
+                    float(T.mean()), float(np.abs(rho - cfg.rho0).max())]
+        counts[up] = int(act.sum())
+    assert counts[True] == counts[False]
+    assert np.all(np.isfinite(outs[True]))
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4, atol=1e-8)
+
+
 def test_pavelka_step_pallas_matches_xla(interpret_kernels):
     from sph_mountain_waves_tpu.models import pavelka_total_witch as pv
     _scheme_pallas_vs_xla(pv, lambda up: pv.PavelkaConfig(
