@@ -119,31 +119,69 @@ def make_step(cfg: ISPHWitchConfig, engine):
             fluid, u.theta_p - dt * u.v[:, 1] * dthdy, u.theta_p),
             "theta_bg": background_pot_temperature_j(cfg, u.x[:, 1])}
 
+    use_pallas = cfg.use_pallas and getattr(engine, "layout", "flat") == "bucket"
+    if use_pallas:
+        from ..ops.pallas_pairs import (
+            isph_div_visc_pass, isph_grad_pass, isph_matvec_pass)
+
     def step(state: ParticleState) -> ParticleState:
         state = apply_unary(state, initialize)
         state, nbrs = engine.rebuild(state)
-        state = apply_binary(engine, state, nbrs, viscous_force)
-        state = apply_binary(engine, state, nbrs, div_L_lambda)
+        if use_pallas:
+            # one fused sweep yields the raw spline-weighted sums; the
+            # p-constant physics factors of viscous_force/div_L_lambda are
+            # applied here (identical algebra, hoisted out of the kernel)
+            s_divv, s_L, s_lam, s_dv0, s_dv1 = isph_div_visc_pass(
+                engine, state, cfg)
+            f = state.fields
+            act = state.active
+            visc_c = 2.0 * vol * cfg.mu_dyn / cfg.rho0
+            Dv = f["Dv"] + visc_c * jnp.stack([s_dv0, s_dv1], axis=-1)
+            state = state.replace(
+                Dv=jnp.where(act[:, None], Dv, 0.0),
+                div=jnp.where(act, f["div"] - vol * f["rho_bg"] * s_divv, 0.0),
+                L=jnp.where(act, f["L"] - 2.0 * vol * s_L, 0.0),
+                lam=jnp.where(act, f["lam"] + 0.5 * vol * s_lam, 0.0))
+        else:
+            state = apply_binary(engine, state, nbrs, viscous_force)
+            state = apply_binary(engine, state, nbrs, div_L_lambda)
 
         # pressure-Poisson: matrix-free preconditioned CG (:154-167, :223-231)
         f = state.fields
         fluid = f["type"] == FLUID
         diag = h**2 * f["L"] + jnp.where(
             fluid, cfg.C_free * jnp.maximum(f["lam"], 0.0), 0.0)
-        mv_off = assemble_matvec(engine, state, nbrs, offdiag,
-                                 include_self=False)
+        if use_pallas:
+            off_c = 2.0 * h**2 * vol
+            mv_off = lambda v: off_c * isph_matvec_pass(engine, state, cfg, v)
+        else:
+            mv_off = assemble_matvec(engine, state, nbrs, offdiag,
+                                     include_self=False)
 
         def matvec(v):
             return mv_off(v) + jnp.where(state.active, diag * v, 0.0)
 
         b = jnp.where(state.active, -h**2 * f["div"] / dt, 0.0)
         diag_safe = jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
+        # atol>0: on an exactly-static state div (and so b) is exactly 0 and
+        # the default atol=0 criterion can never be met — CG then iterates
+        # on a zero residual (0/0 step sizes) and returns noise-amplified
+        # junk pressure instead of the exact solution P=0. Any physical RHS
+        # is astronomically above this floor, so tol governs real solves.
         P, _ = jax.scipy.sparse.linalg.cg(
             matvec, b, x0=f["P"], M=lambda v: v / diag_safe,
-            tol=cfg.cg_tol, maxiter=cfg.cg_maxiter)
+            tol=cfg.cg_tol, atol=1e-30, maxiter=cfg.cg_maxiter)
         state = state.replace(P=jnp.where(state.active, P, 0.0))
 
-        state = apply_binary(engine, state, nbrs, internal_force)
+        if use_pallas:
+            s0, s1 = isph_grad_pass(engine, state, cfg)
+            f = state.fields
+            gk = vol / jnp.maximum(f["rho_bg"], 1e-6)
+            Dv = f["Dv"] - gk[:, None] * jnp.stack([s0, s1], axis=-1)
+            state = state.replace(
+                Dv=jnp.where(state.active[:, None], Dv, 0.0))
+        else:
+            state = apply_binary(engine, state, nbrs, internal_force)
         state = apply_unary(state, accelerate)
         state = apply_unary(state, advect_theta)
         return state

@@ -672,6 +672,87 @@ def dambreak_force_pass(engine, state, cfg, interpret=False):
                             self_pair=False, interpret=interpret)
 
 
+# ------------------------------------------------------------------ ISPH
+
+def _rd_spline23(hinv, r, maskf):
+    """Masked (dw/dr)/r of the 2-D cubic spline ((kernels.rDspline23,
+    src/kernels.jl:51-60), fixed scalar h: the 1/h⁴ folds into hinv⁴).
+    The outer branch's 1/x is guarded (x_safe ≥ 0.5; where() selects the
+    inner polynomial below that, so the guard value is never used)."""
+    C = 10.91348181201568  # 240/(7π), kernels._C_DSPLINE23
+    x = r * hinv
+    inner = 2.0 - 3.0 * x
+    tpos = jnp.maximum(1.0 - x, 0.0)
+    outer = tpos * tpos / jnp.maximum(x, 0.5)
+    h4 = hinv * hinv
+    return (-C * (h4 * h4)) * maskf * jnp.where(x < 0.5, inner, outer)
+
+
+def isph_div_visc_pass(engine, state, cfg, interpret=False):
+    """Fused divergence/L/λ + viscous sweep for the ISPH witch
+    (models/isph_witch.py div_L_lambda + viscous_force closures;
+    collapse_dry_implicit.jl:128-152 forms). Returns RAW spline-weighted
+    pair sums (S_divv, S_L, S_lam, S_dv0, S_dv1) = Σ rDk·(x_pq·v_pq, 1,
+    r², v_pq) — the caller applies the p-constant physics factors."""
+    f = state.fields
+    d = engine.dim
+    coords = [engine.resident(f["x"][:, a]) for a in range(d)]
+    fields = coords + [engine.resident(f["v"][:, a]) for a in range(d)]
+    hinv = 1.0 / cfg.h0
+
+    def body(p_all, q_all, r2, maskf):
+        r = jnp.sqrt(r2)
+        w = _rd_spline23(hinv, r, maskf)
+        dx = [p_all[1 + a] - q_all[1 + a][None, :] for a in range(d)]
+        dv = [p_all[1 + d + a] - q_all[1 + d + a][None, :] for a in range(d)]
+        dot = sum(dx[a] * dv[a] for a in range(d))
+        return [w * dot, w, w * r2] + [w * dv[a] for a in range(d)]
+
+    return _run_pair_kernel(engine, state, fields, body, 3 + d,
+                            self_pair=False, interpret=interpret)
+
+
+def isph_matvec_pass(engine, state, cfg, v, interpret=False):
+    """One CG-matvec off-diagonal sweep: Σ_q rDk(h0, r)·v_q (the scalar
+    2h²·vol factor of isph_witch.offdiag is applied by the caller). Runs
+    once per CG iteration inside lax.while_loop — streams coords + the
+    iterate; the spline weight is recomputed rather than stored (3 streamed
+    fields ≈ 20x less HBM traffic than a materialized [slots, 9·cap]
+    stencil matrix)."""
+    f = state.fields
+    d = engine.dim
+    coords = [engine.resident(f["x"][:, a]) for a in range(d)]
+    fields = coords + [engine.resident(v)]
+    hinv = 1.0 / cfg.h0
+
+    def body(p_all, q_all, r2, maskf):
+        w = _rd_spline23(hinv, jnp.sqrt(r2), maskf)
+        return [w * q_all[1 + d][None, :]]
+
+    (out,) = _run_pair_kernel(engine, state, fields, body, 1,
+                              self_pair=False, interpret=interpret)
+    return out
+
+
+def isph_grad_pass(engine, state, cfg, interpret=False):
+    """Symmetric pressure-correction gradient (isph_witch.internal_force,
+    collapse_dry_implicit.jl:132-134): per-axis Σ rDk·(P_p+P_q)·x_pq raw
+    sums; the caller applies −vol/ρ_bg (p-constant)."""
+    f = state.fields
+    d = engine.dim
+    coords = [engine.resident(f["x"][:, a]) for a in range(d)]
+    fields = coords + [engine.resident(f["P"])]
+    hinv = 1.0 / cfg.h0
+
+    def body(p_all, q_all, r2, maskf):
+        w = _rd_spline23(hinv, jnp.sqrt(r2), maskf)
+        s = w * (p_all[1 + d] + q_all[1 + d][None, :])
+        return [s * (p_all[1 + a] - q_all[1 + a][None, :]) for a in range(d)]
+
+    return _run_pair_kernel(engine, state, fields, body, d,
+                            self_pair=False, interpret=interpret)
+
+
 # ------------------------------------------------------ Rayleigh-Bénard
 
 def rb_mass_heat_pass(engine, state, cfg, interpret=False):
