@@ -148,9 +148,10 @@ def make_step(cfg: Config, engine):
 
         b = jnp.where(state.active, -h**2 * f["div"] / dt, 0.0)
         diag_safe = jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
+        # atol>0: zero-RHS guard, see isph_witch.py (same degenerate-CG trap)
         P, _ = jax.scipy.sparse.linalg.cg(
             matvec, b, x0=f["P"], M=lambda v: v / diag_safe,
-            tol=cfg.cg_tol, maxiter=cfg.cg_maxiter)
+            tol=cfg.cg_tol, atol=1e-30, maxiter=cfg.cg_maxiter)
         state = state.replace(P=jnp.where(state.active, P, 0.0))
 
         state = apply_binary(engine, state, nbrs, internal_force)

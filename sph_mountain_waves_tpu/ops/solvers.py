@@ -83,8 +83,11 @@ def cg_solve(matvec, b, x0=None, M=None, tol: float = 1e-6, maxiter: int = 500):
     ``M`` is an optional preconditioner apply (e.g. Jacobi: v/diag). Thin
     wrapper over ``jax.scipy.sparse.linalg.cg`` so models can swap solvers.
     """
+    # atol>0: with b exactly 0 the default atol=0 criterion can never fire
+    # and CG iterates on a zero residual (0/0 step sizes) returning junk
+    # instead of x=x0; any physical RHS is far above this floor
     x, _ = jax.scipy.sparse.linalg.cg(matvec, b, x0=x0, M=M, tol=tol,
-                                      maxiter=maxiter)
+                                      atol=1e-30, maxiter=maxiter)
     return x
 
 
