@@ -167,6 +167,40 @@ def test_bucket_sharded_migration_conserves(rescatter_mode, slab_axis):
     assert int(n) == 500
 
 
+def test_bucket_sharded_rayleigh_benard_matches_single_device():
+    """The bucket runner is scheme-generic: the Rayleigh-Bénard step (two
+    rebuilds per step, thermal fields) must reproduce its single-device run
+    under the slab decomposition — a second model family over the
+    production sharding beyond the witch suite."""
+    from sph_mountain_waves_tpu.models import rayleigh_benard as rb
+    from sph_mountain_waves_tpu.parallel.bucket import (
+        build_bucket_sharding, make_bucket_runner, shard_state_bucket)
+
+    cfg = rb.Config(n_rows=16, dtype="float64", layout="bucket", skin=0.3)
+    sys1 = rb.make_system(cfg)
+    st1 = sys1.freeze()
+    step1 = jax.jit(rb.make_step(cfg, sys1.engine))
+    for _ in range(10):
+        st1 = step1(st1)
+    act = np.asarray(st1.active)
+    v1 = np.asarray(st1.fields["v"])[act]
+
+    sys2 = rb.make_system(cfg)
+    sys2.freeze()
+    mesh = make_mesh(8)
+    bds = build_bucket_sharding(sys2, 8)
+    state = shard_state_bucket(bds, sys2, mesh)
+    run_frame, diag = make_bucket_runner(
+        bds, mesh, lambda e: rb.make_step(cfg, e), steps_per_frame=10)
+    state = run_frame(state)
+    ua, um, n = diag(state)
+    assert int(n) == sys2.n_built
+    # diag averages |v| (2-norm) over owned rows; compare mean/max speeds
+    s1 = np.sqrt((v1 ** 2).sum(-1))
+    np.testing.assert_allclose([float(ua), float(um)],
+                               [s1.mean(), s1.max()], rtol=1e-10)
+
+
 def test_bucket_sharded_pallas_composes():
     """The Pallas fast path must run unchanged inside shard_map on the
     slab-local grid (interpret mode on CPU)."""
