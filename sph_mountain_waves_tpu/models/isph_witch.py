@@ -28,7 +28,7 @@ import numpy as np
 
 from ..kernels import rDspline23
 from ..ops.apply import apply_binary, apply_unary
-from ..ops.solvers import assemble_matvec
+from ..ops.solvers import assemble_matvec, pcg
 from ..structs import ParticleState, ParticleSystem
 from .witch_common import (
     FLUID, WitchConfig, background_pot_temperature_j, make_witch_system,
@@ -158,19 +158,40 @@ def make_step(cfg: ISPHWitchConfig, engine):
             mv_off = assemble_matvec(engine, state, nbrs, offdiag,
                                      include_self=False)
 
-        def matvec(v):
-            return mv_off(v) + jnp.where(state.active, diag * v, 0.0)
-
-        b = jnp.where(state.active, -h**2 * f["div"] / dt, 0.0)
         diag_safe = jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
-        # atol>0: on an exactly-static state div (and so b) is exactly 0 and
-        # the default atol=0 criterion can never be met — CG then iterates
-        # on a zero residual (0/0 step sizes) and returns noise-amplified
-        # junk pressure instead of the exact solution P=0. Any physical RHS
-        # is astronomically above this floor, so tol governs real solves.
-        P, _ = jax.scipy.sparse.linalg.cg(
-            matvec, b, x0=f["P"], M=lambda v: v / diag_safe,
-            tol=cfg.cg_tol, atol=1e-30, maxiter=cfg.cg_maxiter)
+        refresh = getattr(engine, "refresh_ghost_vector", None)
+        if refresh is not None:
+            # inside shard_map: the global SPD system is distributed over
+            # slab devices. CG vectors live on OWNED slots only (zero
+            # elsewhere, so psummed dots count each entry once); the matvec
+            # refreshes the iterate's ghost copies each application (the
+            # rebuild-time ghost refresh is stale for a changing iterate).
+            owned = jnp.asarray(engine.owned_flat) & state.active
+
+            def matvec(v):
+                out = mv_off(refresh(v)) + diag * v
+                return jnp.where(owned, out, 0.0)
+
+            b = jnp.where(owned, -h**2 * f["div"] / dt, 0.0)
+            P = pcg(matvec, b, x0=jnp.where(owned, f["P"], 0.0),
+                    M=lambda v: v / diag_safe, tol=cfg.cg_tol,
+                    maxiter=cfg.cg_maxiter, axis=engine.axis)
+            # the pressure-gradient sweep below reads ghost P
+            P = refresh(jnp.where(owned, P, 0.0))
+        else:
+            def matvec(v):
+                return mv_off(v) + jnp.where(state.active, diag * v, 0.0)
+
+            b = jnp.where(state.active, -h**2 * f["div"] / dt, 0.0)
+            # atol>0: on an exactly-static state div (and so b) is exactly 0
+            # and the default atol=0 criterion can never be met — CG then
+            # iterates on a zero residual (0/0 step sizes) and returns
+            # noise-amplified junk pressure instead of the exact solution
+            # P=0. Any physical RHS is astronomically above this floor, so
+            # tol governs real solves.
+            P, _ = jax.scipy.sparse.linalg.cg(
+                matvec, b, x0=f["P"], M=lambda v: v / diag_safe,
+                tol=cfg.cg_tol, atol=1e-30, maxiter=cfg.cg_maxiter)
         state = state.replace(P=jnp.where(state.active, P, 0.0))
 
         if use_pallas:

@@ -24,7 +24,7 @@ from ..structs import ParticleState
 from .apply import FieldsView, dist
 from .neighbors import NeighborEngine, Neighbors
 
-__all__ = ["assemble_matvec", "assemble_vector", "cg_solve",
+__all__ = ["assemble_matvec", "assemble_vector", "cg_solve", "pcg",
            "assemble_matrix", "assemble_matrix_bcoo"]
 
 
@@ -88,6 +88,50 @@ def cg_solve(matvec, b, x0=None, M=None, tol: float = 1e-6, maxiter: int = 500):
     # instead of x=x0; any physical RHS is far above this floor
     x, _ = jax.scipy.sparse.linalg.cg(matvec, b, x0=x0, M=M, tol=tol,
                                       atol=1e-30, maxiter=maxiter)
+    return x
+
+
+def pcg(matvec, b, x0=None, M=None, tol: float = 1e-6, atol: float = 1e-30,
+        maxiter: int = 500, axis: str | None = None):
+    """Preconditioned CG as an explicit ``lax.while_loop`` with optional
+    cross-device reductions: with ``axis`` set, every dot product psums
+    over that mesh axis, so the solve is correct INSIDE ``shard_map`` where
+    ``jax.scipy.sparse.linalg.cg``'s node-local dots would silently solve a
+    block-diagonal approximation. The caller owns the vector-space
+    discipline: vectors must be zero outside the owned set (so psummed dots
+    count each entry once) and ``matvec`` must refresh any halo copies it
+    reads (e.g. ``BucketShardEngine.refresh_ghost_vector``).
+
+    Same algorithm and stopping rule as ``cg_solve`` (||r||₂ ≤
+    max(tol·||b||₂, atol), the atol floor guarding the zero-RHS case)."""
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    Mfn = M if M is not None else (lambda v: v)
+    red = (lambda s: jax.lax.psum(s, axis)) if axis else (lambda s: s)
+
+    def dot(a, c):
+        return red(jnp.sum(a * c))
+
+    r0 = b - matvec(x0)
+    z0 = Mfn(r0)
+    gamma0 = dot(r0, z0)
+    thresh = jnp.maximum(tol * tol * dot(b, b), atol * atol)
+
+    def cond(carry):
+        _, r, _, _, k = carry
+        return jnp.logical_and(dot(r, r) > thresh, k < maxiter)
+
+    def body(carry):
+        x, r, p, gamma, k = carry
+        Ap = matvec(p)
+        alpha = gamma / dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = Mfn(r)
+        gamma2 = dot(r, z)
+        p = z + (gamma2 / gamma) * p
+        return (x, r, p, gamma2, k + 1)
+
+    x, *_ = jax.lax.while_loop(cond, body, (x0, r0, z0, gamma0, 0))
     return x
 
 

@@ -385,6 +385,28 @@ class BucketShardEngine:
         t["__active"] = state.active
         return t
 
+    def refresh_ghost_vector(self, vec: jnp.ndarray) -> jnp.ndarray:
+        """Mirror the neighbors' boundary owned columns of ONE flat
+        [slots_local] field into my ghost columns (one ppermute each way) —
+        the per-iteration halo refresh for distributed matrix-free solves
+        (the CG iterate changes every iteration, so the once-per-rebuild
+        ghost refresh of ``rebuild`` is stale for it)."""
+        eng = self._eng
+        sw = self.bds.slab_w
+        ax = self.bds.grid_axis
+        recv_l, recv_r = self._exchange_blocks({"v": vec}, GHOST)
+        G = _col_view(eng, vec)
+        G = _put_cols(ax, G, recv_l["v"], 0)
+        G = _put_cols(ax, G, recv_r["v"], GHOST + sw)
+        return _from_col_view(eng, G, self.resident(vec)[:, eng.num_cells])
+
+    @property
+    def owned_flat(self) -> np.ndarray:
+        """[slots_local] bool: slots whose slab-axis plane this device owns
+        (ghost copies excluded) — the vector space for distributed solves
+        and psum diagnostics."""
+        return _owned_mask_flat(self.bds)
+
     def _refresh_ghosts(self, state: ParticleState) -> ParticleState:
         """Mirror the neighbors' boundary owned columns into my ghost
         columns (one ppermute each way; pure slices)."""

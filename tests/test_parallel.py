@@ -201,6 +201,53 @@ def test_bucket_sharded_rayleigh_benard_matches_single_device():
                                [s1.mean(), s1.max()], rtol=1e-10)
 
 
+def test_bucket_sharded_isph_distributed_cg():
+    """ISPH under the slab decomposition: the pressure-Poisson CG runs
+    INSIDE shard_map with psummed dot products and a per-iteration
+    ghost refresh of the iterate (solvers.pcg + refresh_ghost_vector).
+    A seeded velocity kick makes the solve nontrivial; the projected flow
+    must match the single-device run."""
+    from sph_mountain_waves_tpu.models import isph_witch as iw
+    from sph_mountain_waves_tpu.parallel.bucket import (
+        build_bucket_sharding, make_bucket_runner, shard_state_bucket)
+
+    cfg = iw.ISPHWitchConfig(n_rows=12, dtype="float64",
+                             layout="bucket", skin=0.3)
+
+    def kicked_system():
+        sys = iw.make_system(cfg)
+        rng = np.random.default_rng(7)
+        for chunk in sys._chunks:
+            fluid = chunk["type"] == 0.0
+            kick = 0.5 * rng.standard_normal(chunk["v"].shape)
+            chunk["v"] = np.where(fluid[:, None], kick, chunk["v"])
+        return sys
+
+    sys1 = kicked_system()
+    st1 = sys1.freeze()
+    step1 = jax.jit(iw.make_step(cfg, sys1.engine))
+    for _ in range(5):
+        st1 = step1(st1)
+    act = np.asarray(st1.active)
+    s1 = np.sqrt((np.asarray(st1.fields["v"])[act] ** 2).sum(-1))
+
+    sys2 = kicked_system()
+    sys2.freeze()
+    mesh = make_mesh(8)
+    bds = build_bucket_sharding(sys2, 8)
+    state = shard_state_bucket(bds, sys2, mesh)
+    run_frame, diag = make_bucket_runner(
+        bds, mesh, lambda e: iw.make_step(cfg, e), steps_per_frame=5)
+    state = run_frame(state)
+    ua, um, n = diag(state)
+    assert int(n) == sys2.n_built
+    # single-device solves with jax.scipy CG, sharded with solvers.pcg —
+    # same stopping rule, different recurrence rounding: agreement is set
+    # by cg_tol (1e-6), not by f64 roundoff
+    np.testing.assert_allclose([float(ua), float(um)],
+                               [s1.mean(), s1.max()], rtol=1e-4)
+
+
 def test_bucket_sharded_pallas_composes():
     """The Pallas fast path must run unchanged inside shard_map on the
     slab-local grid (interpret mode on CPU)."""
