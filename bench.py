@@ -124,10 +124,13 @@ def emit(best: float, n, kind: str, note: str = "") -> None:
 
 
 def _forward_json(stdout: str) -> bool:
-    """Find the contractual JSON line in a child's stdout and reprint it."""
+    """Find the contractual JSON line in a child's stdout and reprint it.
+    Crash-diagnostic lines (value 0.0 from the __main__ guard) are not
+    results — rejecting them keeps the parent's retry/fallback chain alive."""
     for line in stdout.splitlines():
         line = line.strip()
-        if line.startswith("{") and '"vs_baseline"' in line:
+        if (line.startswith("{") and '"vs_baseline"' in line
+                and '"bench crashed' not in line):
             print(line)
             return True
     return False
@@ -188,7 +191,12 @@ def main() -> None:
                 print(f"bench attempt failed (pallas={use_pallas}): "
                       f"{type(e).__name__}: {e}", file=sys.stderr)
         if args.attempt:
-            sys.exit(1)  # parent decides what happens next
+            # os._exit: a plain sys.exit(1) would be caught by __main__'s
+            # BaseException guard, which prints a rc=0 crash JSON that the
+            # parent would forward as the final result, skipping every
+            # remaining retry/fallback
+            sys.stderr.flush()
+            os._exit(1)  # parent decides what happens next
         emit(0.0, 0, "unavailable",
              f"all attempts failed: {type(last_err).__name__}")
         return
@@ -228,6 +236,13 @@ def main() -> None:
                       f"{type(e).__name__}", file=sys.stderr)
                 last_note = "attempt timeout"
                 continue
+            # Mosaic remote-compile failures bury the real cause mid-log
+            # ("AOT PJRT error" — CLAUDE.md); surface those lines before the
+            # generic tail so the driver log stays actionable
+            marked = [ln for ln in r.stderr.splitlines()
+                      if "AOT PJRT error" in ln]
+            for ln in marked[:5]:
+                print(ln, file=sys.stderr)
             sys.stderr.write(r.stderr[-2000:])
             if r.returncode == 0 and _forward_json(r.stdout):
                 return

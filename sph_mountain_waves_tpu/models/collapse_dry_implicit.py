@@ -151,7 +151,7 @@ def make_step(cfg: Config, engine):
         # atol>0: zero-RHS guard, see isph_witch.py (same degenerate-CG trap)
         P, _ = jax.scipy.sparse.linalg.cg(
             matvec, b, x0=f["P"], M=lambda v: v / diag_safe,
-            tol=cfg.cg_tol, atol=1e-30, maxiter=cfg.cg_maxiter)
+            tol=cfg.cg_tol, atol=1e-18, maxiter=cfg.cg_maxiter)
         state = state.replace(P=jnp.where(state.active, P, 0.0))
 
         state = apply_binary(engine, state, nbrs, internal_force)

@@ -122,7 +122,17 @@ def make_step(cfg: ISPHWitchConfig, engine):
     use_pallas = cfg.use_pallas and getattr(engine, "layout", "flat") == "bucket"
     if use_pallas:
         from ..ops.pallas_pairs import (
-            isph_div_visc_pass, isph_grad_pass, isph_matvec_pass)
+            isph_div_visc_pass, isph_grad_pass, isph_matvec_prepared)
+
+    if (getattr(engine, "axis", None) is not None
+            and not hasattr(engine, "refresh_ghost_vector")):
+        # fail LOUDLY: on a sharded engine without per-iteration ghost
+        # refresh, jax.scipy CG's node-local dots would silently solve a
+        # block-diagonal approximation of the global Poisson system
+        raise NotImplementedError(
+            "sharded ISPH requires a distributed CG (psummed dots + "
+            "refresh_ghost_vector); use the bucket decomposition "
+            "(parallel/bucket.py), not the flat ShardEngine")
 
     def step(state: ParticleState) -> ParticleState:
         state = apply_unary(state, initialize)
@@ -153,7 +163,8 @@ def make_step(cfg: ISPHWitchConfig, engine):
             fluid, cfg.C_free * jnp.maximum(f["lam"], 0.0), 0.0)
         if use_pallas:
             off_c = 2.0 * h**2 * vol
-            mv_off = lambda v: off_c * isph_matvec_pass(engine, state, cfg, v)
+            mv_prep = isph_matvec_prepared(engine, state, cfg)
+            mv_off = lambda v: off_c * mv_prep(v)
         else:
             mv_off = assemble_matvec(engine, state, nbrs, offdiag,
                                      include_self=False)
@@ -191,7 +202,7 @@ def make_step(cfg: ISPHWitchConfig, engine):
             # tol governs real solves.
             P, _ = jax.scipy.sparse.linalg.cg(
                 matvec, b, x0=f["P"], M=lambda v: v / diag_safe,
-                tol=cfg.cg_tol, atol=1e-30, maxiter=cfg.cg_maxiter)
+                tol=cfg.cg_tol, atol=1e-18, maxiter=cfg.cg_maxiter)
         state = state.replace(P=jnp.where(state.active, P, 0.0))
 
         if use_pallas:

@@ -316,19 +316,31 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap, rp):
     return kernel
 
 
-def _run_pair_kernel(engine, state, fields, pair_body, n_out, self_pair,
-                     interpret=False, pad_vals=None):
+def make_pair_kernel_fn(engine, state, static_fields, n_dyn, pair_body,
+                        n_out, self_pair, interpret=False, pad_vals=None):
+    """Prepare a pair-sweep kernel with a static/dynamic field split and
+    return ``call(dyn_fields) -> outs``. The occupancy plane, the padded
+    STATIC field buffers and the per-row trip bounds (row_kmax) are built
+    exactly once at prepare time; each ``call`` pads only the ``n_dyn``
+    DYNAMIC resident fields and invokes the kernel. For solver loops
+    (e.g. the per-CG-iteration matvec inside ``lax.while_loop``) this
+    keeps the invariant pad/reshape work out of the loop body by
+    construction instead of relying on XLA loop-invariant code motion.
+    ``pair_body`` sees fields indexed [occ] + static + dynamic."""
     nx = engine.lims[0]
     cap = engine.cap
     C = engine.num_cells
     R = _grid_rows(engine)
     occf = engine.resident(state.active).astype(jnp.float32)
+    n_static = len(static_fields)
+    pad_static = pad_dyn = None
     if pad_vals is not None:
-        assert len(pad_vals) == len(fields), \
-            f"pad_vals has {len(pad_vals)} entries for {len(fields)} fields"
-        pad_vals = [0.0] + list(pad_vals)  # occ pads 0 (= unoccupied)
-    ins = _pad_fields(engine, [occf] + fields, pad_vals)
-    n_in = len(ins)
+        assert len(pad_vals) == n_static + n_dyn, \
+            f"pad_vals has {len(pad_vals)} entries for {n_static + n_dyn} fields"
+        pad_static = [0.0] + list(pad_vals[:n_static])  # occ pads 0
+        pad_dyn = list(pad_vals[n_static:])
+    ins_static = _pad_fields(engine, [occf] + list(static_fields), pad_static)
+    n_in = 1 + n_static + n_dyn
     nw = len(_plane_offsets(engine.dim))
     kmax, kmaxp = row_kmax(engine, state)
 
@@ -338,7 +350,8 @@ def _run_pair_kernel(engine, state, fields, pair_body, n_out, self_pair,
     # rounding anyway, so the padding is free compute-wise.
     cap_pad = _round_up_8(cap)
     if cap_pad != cap:
-        ins = [jnp.pad(f, ((0, cap_pad - cap), (0, 0))) for f in ins]
+        ins_static = [jnp.pad(f, ((0, cap_pad - cap), (0, 0)))
+                      for f in ins_static]
 
     rp = _rows_per_program(engine, n_in, n_out, cap_pad)
     if rp > 1:
@@ -361,15 +374,32 @@ def _run_pair_kernel(engine, state, fields, pair_body, n_out, self_pair,
            for _ in range(n_out)]
         + [pltpu.SemaphoreType.DMA((2, n_in, nw))],
     )
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((cap_pad, R * nx), jnp.float32)] * n_out,
-        interpret=interpret,
-    )(kmax, kmaxp, *ins)
-    # back to [cap*(C+1)] flat with the trash column re-appended
-    return [jnp.pad(o[:cap], ((0, 0), (0, 1))).reshape(cap * (C + 1))
-            for o in outs]
+
+    def call(dyn_fields):
+        assert len(dyn_fields) == n_dyn
+        ins_dyn = _pad_fields(engine, list(dyn_fields), pad_dyn)
+        if cap_pad != cap:
+            ins_dyn = [jnp.pad(f, ((0, cap_pad - cap), (0, 0)))
+                       for f in ins_dyn]
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((cap_pad, R * nx),
+                                            jnp.float32)] * n_out,
+            interpret=interpret,
+        )(kmax, kmaxp, *ins_static, *ins_dyn)
+        # back to [cap*(C+1)] flat with the trash column re-appended
+        return [jnp.pad(o[:cap], ((0, 0), (0, 1))).reshape(cap * (C + 1))
+                for o in outs]
+
+    return call
+
+
+def _run_pair_kernel(engine, state, fields, pair_body, n_out, self_pair,
+                     interpret=False, pad_vals=None):
+    return make_pair_kernel_fn(engine, state, fields, 0, pair_body, n_out,
+                               self_pair, interpret=interpret,
+                               pad_vals=pad_vals)([])
 
 
 def _resident_xhm(engine, state, h_floor):
@@ -712,26 +742,38 @@ def isph_div_visc_pass(engine, state, cfg, interpret=False):
                             self_pair=False, interpret=interpret)
 
 
-def isph_matvec_pass(engine, state, cfg, v, interpret=False):
-    """One CG-matvec off-diagonal sweep: Σ_q rDk(h0, r)·v_q (the scalar
-    2h²·vol factor of isph_witch.offdiag is applied by the caller). Runs
-    once per CG iteration inside lax.while_loop — streams coords + the
-    iterate; the spline weight is recomputed rather than stored (3 streamed
-    fields ≈ 20x less HBM traffic than a materialized [slots, 9·cap]
-    stencil matrix)."""
+def isph_matvec_prepared(engine, state, cfg, interpret=False):
+    """CG-matvec off-diagonal sweep, prepared for solver loops: returns
+    ``mv(v) = Σ_q rDk(h0, r)·v_q`` (the scalar 2h²·vol factor of
+    isph_witch.offdiag is applied by the caller). The coordinate/occupancy
+    padding and the per-row trip bounds are built ONCE here; each ``mv``
+    call — one per CG iteration inside lax.while_loop — pads and streams
+    only the iterate, keeping the loop-invariant work out of the loop body
+    by construction. The spline weight is recomputed from streamed coords
+    rather than stored (3 streamed fields ≈ 20x less HBM traffic than a
+    materialized [slots, 9·cap] stencil matrix)."""
     f = state.fields
     d = engine.dim
     coords = [engine.resident(f["x"][:, a]) for a in range(d)]
-    fields = coords + [engine.resident(v)]
     hinv = 1.0 / cfg.h0
 
     def body(p_all, q_all, r2, maskf):
         w = _rd_spline23(hinv, jnp.sqrt(r2), maskf)
         return [w * q_all[1 + d][None, :]]
 
-    (out,) = _run_pair_kernel(engine, state, fields, body, 1,
-                              self_pair=False, interpret=interpret)
-    return out
+    call = make_pair_kernel_fn(engine, state, coords, 1, body, 1,
+                               self_pair=False, interpret=interpret)
+
+    def mv(v):
+        (out,) = call([engine.resident(v)])
+        return out
+
+    return mv
+
+
+def isph_matvec_pass(engine, state, cfg, v, interpret=False):
+    """One-shot form of ``isph_matvec_prepared`` (parity tests)."""
+    return isph_matvec_prepared(engine, state, cfg, interpret=interpret)(v)
 
 
 def isph_grad_pass(engine, state, cfg, interpret=False):

@@ -87,11 +87,11 @@ def cg_solve(matvec, b, x0=None, M=None, tol: float = 1e-6, maxiter: int = 500):
     # and CG iterates on a zero residual (0/0 step sizes) returning junk
     # instead of x=x0; any physical RHS is far above this floor
     x, _ = jax.scipy.sparse.linalg.cg(matvec, b, x0=x0, M=M, tol=tol,
-                                      atol=1e-30, maxiter=maxiter)
+                                      atol=1e-18, maxiter=maxiter)
     return x
 
 
-def pcg(matvec, b, x0=None, M=None, tol: float = 1e-6, atol: float = 1e-30,
+def pcg(matvec, b, x0=None, M=None, tol: float = 1e-6, atol: float = 1e-18,
         maxiter: int = 500, axis: str | None = None):
     """Preconditioned CG as an explicit ``lax.while_loop`` with optional
     cross-device reductions: with ``axis`` set, every dot product psums

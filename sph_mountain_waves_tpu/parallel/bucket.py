@@ -385,20 +385,27 @@ class BucketShardEngine:
         t["__active"] = state.active
         return t
 
+    def _splice_ghosts(self, flat, block_l, block_r):
+        """Place received neighbor boundary blocks into this device's ghost
+        columns of ONE flat [slots_local(, d)] field — the single copy of
+        the ghost-placement arithmetic, shared by the per-rebuild state
+        refresh and the per-CG-iteration vector refresh."""
+        eng = self._eng
+        ax = self.bds.grid_axis
+        trash = self.resident(flat)[:, eng.num_cells]
+        G = _col_view(eng, flat)
+        G = _put_cols(ax, G, block_l, 0)
+        G = _put_cols(ax, G, block_r, GHOST + self.bds.slab_w)
+        return _from_col_view(eng, G, trash)
+
     def refresh_ghost_vector(self, vec: jnp.ndarray) -> jnp.ndarray:
         """Mirror the neighbors' boundary owned columns of ONE flat
         [slots_local] field into my ghost columns (one ppermute each way) —
         the per-iteration halo refresh for distributed matrix-free solves
         (the CG iterate changes every iteration, so the once-per-rebuild
         ghost refresh of ``rebuild`` is stale for it)."""
-        eng = self._eng
-        sw = self.bds.slab_w
-        ax = self.bds.grid_axis
         recv_l, recv_r = self._exchange_blocks({"v": vec}, GHOST)
-        G = _col_view(eng, vec)
-        G = _put_cols(ax, G, recv_l["v"], 0)
-        G = _put_cols(ax, G, recv_r["v"], GHOST + sw)
-        return _from_col_view(eng, G, self.resident(vec)[:, eng.num_cells])
+        return self._splice_ghosts(vec, recv_l["v"], recv_r["v"])
 
     @property
     def owned_flat(self) -> np.ndarray:
@@ -410,34 +417,19 @@ class BucketShardEngine:
     def _refresh_ghosts(self, state: ParticleState) -> ParticleState:
         """Mirror the neighbors' boundary owned columns into my ghost
         columns (one ppermute each way; pure slices)."""
-        eng = self._eng
-        sw = self.bds.slab_w
-        ax = self.bds.grid_axis
         tree = self._exchange_tree(state)
         recv_l, recv_r = self._exchange_blocks(tree, GHOST)
         act_l = recv_l.pop("__active")
         act_r = recv_r.pop("__active")
 
         fields = dict(state.fields)
-        trash = {k: self.resident(v)[:, eng.num_cells]
-                 for k, v in state.fields.items()}
         for k in recv_l:
-            G = _col_view(eng, fields[k])
-            G = _put_cols(ax, G, recv_l[k], 0)
-            G = _put_cols(ax, G, recv_r[k], GHOST + sw)
-            fields[k] = _from_col_view(eng, G, trash[k])
+            fields[k] = self._splice_ghosts(fields[k], recv_l[k], recv_r[k])
         # ghost _xref mirrors ghost x so the drift predicate sees no ghost
         # drift of its own (owners decide)
-        Gx = _col_view(eng, fields["_xref"])
-        Gx = _put_cols(ax, Gx, recv_l["x"], 0)
-        Gx = _put_cols(ax, Gx, recv_r["x"], GHOST + sw)
-        fields["_xref"] = _from_col_view(eng, Gx, trash["_xref"])
-
-        A = _col_view(eng, state.active)
-        A = _put_cols(ax, A, act_l, 0)
-        A = _put_cols(ax, A, act_r, GHOST + sw)
-        active = _from_col_view(eng, A,
-                                self.resident(state.active)[:, eng.num_cells])
+        fields["_xref"] = self._splice_ghosts(fields["_xref"],
+                                              recv_l["x"], recv_r["x"])
+        active = self._splice_ghosts(state.active, act_l, act_r)
         return ParticleState(fields=fields, active=active)
 
     # ----------------------------------------------------------- rescatter

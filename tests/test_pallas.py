@@ -16,8 +16,8 @@ from sph_mountain_waves_tpu.kernels import wendland2
 
 @pytest.fixture
 def interpret_kernels(monkeypatch):
-    orig = pp._run_pair_kernel
-    monkeypatch.setattr(pp, "_run_pair_kernel",
+    orig = pp.make_pair_kernel_fn
+    monkeypatch.setattr(pp, "make_pair_kernel_fn",
                         lambda *a, **k: orig(*a, **{**k, "interpret": True}))
 
 

@@ -254,8 +254,8 @@ def test_bucket_sharded_pallas_composes():
     import sph_mountain_waves_tpu.ops.pallas_pairs as pp
     from sph_mountain_waves_tpu.parallel.bucket import make_bucket_runner
 
-    orig = pp._run_pair_kernel
-    pp._run_pair_kernel = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    orig = pp.make_pair_kernel_fn
+    pp.make_pair_kernel_fn = lambda *a, **k: orig(*a, **{**k, "interpret": True})
     try:
         cfg = WitchConfig(n_rows=12, dtype="float32", self_density=True,
                           layout="bucket", skin=0.2, use_pallas=True)
@@ -274,7 +274,7 @@ def test_bucket_sharded_pallas_composes():
         assert int(n) == sys2.n_built
         np.testing.assert_allclose([float(ua), float(um)], u1, rtol=2e-5)
     finally:
-        pp._run_pair_kernel = orig
+        pp.make_pair_kernel_fn = orig
 
 
 def test_bucket_sharded_3d_yslab_matches_single_device():

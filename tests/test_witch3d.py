@@ -70,8 +70,8 @@ def test_witch3d_pallas_matches_xla(monkeypatch):
     """27-offset density+momentum Pallas passes vs the XLA cell-dense path
     on the same bucket-layout trajectory (interpret mode on CPU)."""
     import sph_mountain_waves_tpu.ops.pallas_pairs as pp
-    orig = pp._run_pair_kernel
-    monkeypatch.setattr(pp, "_run_pair_kernel",
+    orig = pp.make_pair_kernel_fn
+    monkeypatch.setattr(pp, "make_pair_kernel_fn",
                         lambda *a, **k: orig(*a, **{**k, "interpret": True}))
     outs = {}
     for up in (False, True):
