@@ -257,7 +257,12 @@ class NeighborEngine:
         widths ``L`` ([dim] array), plus compression headroom."""
         if positions is None or len(positions) == 0:
             return 16
-        ci = np.floor(np.asarray(positions)[:, :dim] / L).astype(np.int64) - phase
+        pos = np.asarray(positions)[:, :dim]
+        pos = pos[np.isfinite(pos).all(axis=1)]  # screened rows (NaN/Inf)
+        # would otherwise cast to INT64_MIN, clip into bin 0 and inflate occ
+        if len(pos) == 0:
+            return 16
+        ci = np.floor(pos / L).astype(np.int64) - phase
         ci = np.clip(ci, 0, np.asarray(lims) - 1)
         key = ci[:, 0]
         stride = lims[0]
