@@ -21,6 +21,7 @@ program, zero host round-trips.
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
@@ -219,6 +220,18 @@ def make_step(cfg: ISPHWitchConfig, engine):
         return state
 
     return step
+
+
+def baseline_config(**overrides) -> ISPHWitchConfig:
+    """BASELINE.json config #4 sizing: 'ISPH variant of mountain-wave case
+    (pressure-Poisson CG path), ~200k particles', in the production TPU
+    layout (bucket-resident + Pallas fused sweeps + lattice-aligned cells)."""
+    n_rows = max(8, int(round(math.sqrt(2e5 / (400e3 / 26e3) / 1.0746))))
+    kw = dict(n_rows=n_rows, dtype="float32", self_density=True,
+              layout="bucket", skin=0.15, use_pallas=True,
+              lattice_cells=True)
+    kw.update(overrides)
+    return ISPHWitchConfig(**kw)
 
 
 def run(cfg: ISPHWitchConfig | None = None, out_path: str | None = None,

@@ -218,6 +218,17 @@ def diagnostics(cfg: Config, state: ParticleState):
     return ke, nu_num
 
 
+def baseline_config(**overrides) -> Config:
+    """BASELINE.json config #2 sizing: '2D Rayleigh-Bénard thermal
+    convection, WCSPH + buoyancy, ~50k particles' (n_rows=160 → ~51k
+    fluid), in the production TPU layout (bucket-resident + Pallas fused
+    continuity+conduction sweep)."""
+    kw = dict(n_rows=160, dtype="float32", layout="bucket", skin=0.15,
+              use_pallas=True)
+    kw.update(overrides)
+    return Config(**kw)
+
+
 def run(cfg: Config = Config(), out_path: str | None = None,
         verbose: bool = False):
     from ..io import new_pvd_file, save_frame, save_pvd_file
