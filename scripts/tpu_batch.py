@@ -1,0 +1,170 @@
+"""TPU measurement batch for when the tunnel returns.
+
+Sequential subprocess jobs (ONE TPU job at a time), each with a hard
+timeout. Validates the committed-but-unmeasured rp-stacking change
+against the recorded baselines (BENCHMARKS.md):
+  - 2-D 1M fast_math: 4.64 ms/step (2.11e8 ps/s)   [rp=1-era binary]
+  - 3-D stretch 3.25M: 96.3 ms/step (3.37e7 ps/s)  [rp=1-era binary]
+Writes one line per job to /tmp/tpu_batch_results.log.
+"""
+import subprocess, sys, time, os
+
+LOG = "/tmp/tpu_batch_results.log"
+
+CHILD_2D = r'''
+import math, time, sys
+from functools import partial
+import jax, jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
+import sph_mountain_waves_tpu.ops.pallas_pairs as pp
+RP = {rp}
+if RP: pp.ROWS_PER_PROGRAM = RP
+from sph_mountain_waves_tpu.models import wcsph_perturbed_witch as w
+from sph_mountain_waves_tpu.models.common import frame_runner
+from sph_mountain_waves_tpu.models.witch_common import WitchConfig
+N = 1e6
+n_rows = max(8, int(round(math.sqrt(N / (400e3 / 26e3) / 1.0746))))
+cfg = WitchConfig(n_rows=n_rows, dtype="float32", self_density=True,
+                  layout="bucket", skin=0.15, use_pallas=True,
+                  lattice_cells=True, lazy_diagnostics=True, fast_math=True)
+sys_ = w.make_system(cfg)
+state = sys_.freeze()
+step = w.make_step(cfg, sys_.engine)
+run_frame = frame_runner(step, 100, finalize=w.make_finalize(cfg))
+state = run_frame(state)
+float(jnp.sum(state.fields["x"][:, 1]))
+n = sys_.n_built
+best = 0.0
+for _ in range(3):
+    t0 = time.perf_counter()
+    state = run_frame(state)
+    float(jnp.sum(state.fields["x"][:, 1]))
+    dt = time.perf_counter() - t0
+    best = max(best, n * 100 / dt)
+print(f"RESULT 2d rp={{RP}} n={{n}} ps={{best:.4g}} ms_step={{n/best*1000:.3f}}")
+'''
+
+CHILD_3D = r'''
+import time, sys
+from functools import partial
+import jax, jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
+import sph_mountain_waves_tpu.ops.pallas_pairs as pp
+RP = {rp}
+if RP: pp.ROWS_PER_PROGRAM = RP
+from sph_mountain_waves_tpu.models import witch3d as w3
+cfg = w3.stretch_config(bucket_cap=8)  # the 96.3 ms/step recorded config
+sys_ = w3.make_system(cfg)
+state = sys_.freeze()
+step = w3.make_step(cfg, sys_.engine)
+n = sys_.n_built
+print("built n =", n, flush=True)
+@partial(jax.jit, donate_argnums=0)
+def run(s):
+    s, _ = jax.lax.scan(lambda s, _: (step(s), None), s, None, length=20)
+    return s
+t0 = time.perf_counter()
+state = run(state)
+float(jnp.sum(state.fields["x"][:, 1]))
+print(f"compile+first: {{time.perf_counter()-t0:.1f}}s", flush=True)
+best = 1e9
+for _ in range(3):
+    t0 = time.perf_counter()
+    state = run(state)
+    float(jnp.sum(state.fields["x"][:, 1]))
+    best = min(best, (time.perf_counter() - t0) / 20)
+print(f"RESULT 3d rp={{RP}} n={{n}} ms_step={{best*1000:.1f}} ps={{n/best:.4g}}")
+'''
+
+
+CHILD_ISPH = r'''
+import math, time, sys
+from functools import partial
+import jax, jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
+from sph_mountain_waves_tpu.models import isph_witch as iw
+cfg = iw.baseline_config()
+sys_ = iw.make_system(cfg)
+state = sys_.freeze()
+step = iw.make_step(cfg, sys_.engine)
+n = sys_.n_built
+print("built n =", n, flush=True)
+@partial(jax.jit, donate_argnums=0)
+def run(s):
+    s, _ = jax.lax.scan(lambda s, _: (step(s), None), s, None, length=20)
+    return s
+t0 = time.perf_counter()
+state = run(state)
+float(jnp.sum(state.fields["x"][:, 1]))
+print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
+best = 1e9
+for _ in range(3):
+    t0 = time.perf_counter()
+    state = run(state)
+    float(jnp.sum(state.fields["x"][:, 1]))
+    best = min(best, (time.perf_counter() - t0) / 20)
+print(f"RESULT isph n={n} ms_step={best*1000:.2f} ps={n/best:.4g}")
+'''
+
+CHILD_RB = r'''
+import time, sys
+from functools import partial
+import jax, jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
+from sph_mountain_waves_tpu.models import rayleigh_benard as rb
+cfg = rb.baseline_config()
+sys_ = rb.make_system(cfg)
+state = sys_.freeze()
+step = rb.make_step(cfg, sys_.engine)
+n = sys_.n_built
+print("built n =", n, flush=True)
+@partial(jax.jit, donate_argnums=0)
+def run(s):
+    s, _ = jax.lax.scan(lambda s, _: (step(s), None), s, None, length=100)
+    return s
+t0 = time.perf_counter()
+state = run(state)
+float(jnp.sum(state.fields["x"][:, 1]))
+print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
+best = 1e9
+for _ in range(3):
+    t0 = time.perf_counter()
+    state = run(state)
+    float(jnp.sum(state.fields["x"][:, 1]))
+    best = min(best, (time.perf_counter() - t0) / 100)
+print(f"RESULT rb n={n} ms_step={best*1000:.3f} ps={n/best:.4g}")
+'''
+
+
+def run_job(name, code, timeout_s):
+    with open(LOG, "a") as f:
+        f.write(f"--- {name} start {time.strftime('%H:%M:%S')}\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s, check=False)
+        tail = "\n".join((r.stdout + r.stderr).splitlines()[-8:])
+        with open(LOG, "a") as f:
+            f.write(f"{name} rc={r.returncode}\n{tail}\n")
+        return r.returncode == 0 and "RESULT" in r.stdout
+    except subprocess.TimeoutExpired:
+        with open(LOG, "a") as f:
+            f.write(f"{name} TIMEOUT after {timeout_s}s\n")
+        return False
+
+
+def main():
+    # 2-D rp-auto first: cheapest compile, answers the headline question
+    ok2 = run_job("2d_rp_auto", CHILD_2D.format(rp="None"), 1800)
+    # 3-D rp-auto: the change mainly targets 3-D (nx=384, op-latency-bound)
+    ok3 = run_job("3d_rp_auto", CHILD_3D.format(rp="None"), 3600)
+    if not ok2:
+        run_job("2d_rp_1", CHILD_2D.format(rp="1"), 1800)
+    # BASELINE per-config numbers (no {rp} placeholders in these)
+    run_job("isph_200k", CHILD_ISPH, 2400)
+    run_job("rb_51k", CHILD_RB, 1800)
+    with open(LOG, "a") as f:
+        f.write(f"BATCH DONE ok2={ok2} ok3={ok3}\n")
+
+
+if __name__ == "__main__":
+    main()
