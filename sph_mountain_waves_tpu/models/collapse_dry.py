@@ -234,6 +234,10 @@ def run(cfg: Config = Config(), out_path: str | None = None, verbose: bool = Fal
         import os as _os
         save_csv(_os.path.join(out.path, "data.csv"),
                  {"t": ts[: len(Xs)], "X": Xs, "H": Hs, "E": Es})
+        # ... and the make_plot() figures (:232-247): computed X(t)/H(t)
+        # with the Violeau / Koshizuka–Oka reference points
+        from ..utils.plots import plot_dambreak
+        plot_dambreak(out.path, ts[: len(Xs)], Xs, Hs)
     sys.state = state  # earlier buffers were donated to the jitted frames
     return {"t": np.asarray(ts[: len(Xs)]), "X": np.asarray(Xs),
             "H": np.asarray(Hs), "E": np.asarray(Es), "state": state,

@@ -277,6 +277,8 @@ def _run(cfg, out_path, verbose):
         import os as _os
         save_csv(_os.path.join(out.path, "data.csv"),
                  {"t": ts, "u_avg": u_avgs, "u_max": u_maxs})
+        from ..utils.plots import plot_velocities
+        plot_velocities(out.path, ts, u_avgs, u_maxs)
     sys.state = state
     return {"t": np.asarray(ts), "u_avg": np.asarray(u_avgs),
             "u_max": np.asarray(u_maxs), "state": state, "system": sys}

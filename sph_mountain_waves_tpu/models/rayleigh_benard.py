@@ -261,6 +261,11 @@ def run(cfg: Config = Config(), out_path: str | None = None,
         import os as _os
         save_csv(_os.path.join(out.path, "data.csv"),
                  {"t": ts, "KE": KEs, "Nu": Nus})
+        from ..utils.plots import plot_series
+        plot_series(_os.path.join(out.path, "kinetic_energy.pdf"), ts,
+                    {"KE": KEs}, ylabel="kinetic energy (J)")
+        plot_series(_os.path.join(out.path, "nusselt.pdf"), ts,
+                    {"Nu": Nus}, ylabel="Nusselt number")
     sys.state = state
     return {"t": np.asarray(ts), "KE": np.asarray(KEs), "Nu": np.asarray(Nus),
             "state": state, "system": sys}

@@ -231,6 +231,11 @@ def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
         from ..io import save_csv
         save_csv(os.path.join(out.path, "data.csv"),
                  {"t": ts, "u_avg": u_avgs, "u_max": u_maxs})
+        # the reference's two-panel velocities figure (:393-405; its
+        # savefig is committed commented-out — written here so production
+        # runs keep their diagnostics)
+        from ..utils.plots import plot_velocities
+        plot_velocities(out.path, ts, u_avgs, u_maxs)
     sys.state = state
     return {"t": np.asarray(ts), "u_avg": np.asarray(u_avgs),
             "u_max": np.asarray(u_maxs), "state": state, "system": sys}
