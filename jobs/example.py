@@ -40,8 +40,13 @@ if __name__ == "__main__":
         cfg = stretch_config(n_rows=args.rows, t_end=args.t_end)
     else:
         from sph_mountain_waves_tpu.models.witch_common import WitchConfig
+        # measured-optimal production layout (BENCHMARKS.md): skin 0.15
+        # keeps hex-lattice bucket occupancy <= 6 -> cap 8 (skin 0.2 tips
+        # occupancy to 8 -> cap 16, ~2x the pair-sweep cost);
+        # lattice-aligned cells keep occupancy uniform
         cfg = WitchConfig(n_rows=args.rows, t_end=args.t_end, dtype="float32",
-                          self_density=True, layout="bucket", skin=0.2,
+                          self_density=True, layout="bucket", skin=0.15,
+                          lattice_cells=True, lazy_diagnostics=True,
                           use_pallas=True)
     out = mod.run(cfg, out_path=args.out, verbose=True)
     key = "u_max" if "u_max" in out else "KE"

@@ -194,5 +194,15 @@ def run(cfg: Config = Config(), out_path: str | None = None,
     if out:
         save_pvd_file(out)
     s, v1, v2 = compute_fluxes(cfg, sys.engine, state)
+    if out:
+        # the reference persists the centerline profiles as data.csv and the
+        # Ghia comparison figures next to the Paraview output
+        # (cavity_flow.jl:177-220)
+        import os as _os
+        from ..io import save_csv
+        from ..utils.plots import plot_cavity
+        save_csv(_os.path.join(out.path, "data.csv"),
+                 {"s": s, "v1": v1, "v2": v2})
+        plot_cavity(out.path, s, v1, v2, Re=cfg.Re)
     sys.state = state
     return {"s": s, "v1": v1, "v2": v2, "state": state, "system": sys}

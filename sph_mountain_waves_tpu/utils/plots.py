@@ -18,7 +18,8 @@ from __future__ import annotations
 import os
 import warnings
 
-__all__ = ["plot_series", "plot_dambreak", "plot_velocities"]
+__all__ = ["plot_series", "plot_dambreak", "plot_velocities",
+           "plot_cavity"]
 
 
 def _pyplot():
@@ -86,6 +87,45 @@ def plot_dambreak(out_dir: str, t, X, H, ref_dir: str | None = None) -> bool:
         ax.legend(frameon=False)
         fig.tight_layout()
         fig.savefig(os.path.join(out_dir, f"dambreak_{name}.pdf"))
+        plt.close(fig)
+    return True
+
+
+def plot_cavity(out_dir: str, s, v1, v2, Re: float = 100.0,
+                ref_dir: str | None = None) -> bool:
+    """``ldc-x2vy.pdf`` + ``ldc-y2vx.pdf``: centerline velocity profiles
+    against the Ghia et al. reference columns (cavity_flow.jl ``make_plot``,
+    :182-220 — v_y along the horizontal centerline, v_x along the vertical
+    one, reference points scattered on top when the Re column exists)."""
+    plt = _pyplot()
+    if plt is None:
+        return False
+    if ref_dir is None:
+        ref_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))),
+            "tests", "reference_data")
+    col = f"Re{int(Re)}"
+
+    specs = (  # (file stem, ref abscissa col, ours as (x, y) curve)
+        ("ldc-x2vy", "x", (s, v2), ("x", "v_y"), False),
+        ("ldc-y2vx", "y", (v1, s), ("v_x", "y"), True),
+    )
+    for stem, ref_ax, (cx, cy), (xl, yl), swap in specs:
+        fig, ax = plt.subplots(figsize=(4.6, 4.6))
+        ax.plot(cx, cy, color="tab:orange", lw=2.5, label="SPH")
+        p = os.path.join(ref_dir, f"{stem}.csv")
+        if os.path.exists(p):
+            ref = _read_ref_csv(p)
+            if col in (ref.dtype.names or ()):
+                pts = ((ref[col], ref[ref_ax]) if swap
+                       else (ref[ref_ax], ref[col]))
+                ax.scatter(*pts, s=22, marker="D", color="tab:blue",
+                           label="REF")
+        ax.set_xlabel(xl)
+        ax.set_ylabel(yl)
+        ax.legend(frameon=False)
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, f"{stem}.pdf"))
         plt.close(fig)
     return True
 

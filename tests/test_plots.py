@@ -7,7 +7,7 @@ import os
 import numpy as np
 
 from sph_mountain_waves_tpu.utils.plots import (
-    plot_dambreak, plot_series, plot_velocities)
+    plot_cavity, plot_dambreak, plot_series, plot_velocities)
 
 
 def test_plot_files_written(tmp_path):
@@ -16,8 +16,10 @@ def test_plot_files_written(tmp_path):
     assert plot_velocities(str(tmp_path), t, 0.1 * t, 0.3 * t)
     assert plot_series(str(tmp_path / "e.pdf"), t, {"E": t ** 2},
                        ylabel="energy")
+    s = np.linspace(0.0, 1.0, 30)
+    assert plot_cavity(str(tmp_path), s, s - 0.5, 0.2 * np.sin(s), Re=100.0)
     for name in ("dambreak_X.pdf", "dambreak_H.pdf", "velocities.pdf",
-                 "e.pdf"):
+                 "e.pdf", "ldc-x2vy.pdf", "ldc-y2vx.pdf"):
         p = tmp_path / name
         assert p.exists() and p.stat().st_size > 500, name
 
