@@ -22,7 +22,7 @@ if RP: pp.ROWS_PER_PROGRAM = RP
 from sph_mountain_waves_tpu.models import wcsph_perturbed_witch as w
 from sph_mountain_waves_tpu.models.common import frame_runner
 from sph_mountain_waves_tpu.models.witch_common import WitchConfig
-N = 1e6
+N = {n}
 n_rows = max(8, int(round(math.sqrt(N / (400e3 / 26e3) / 1.0746))))
 cfg = WitchConfig(n_rows=n_rows, dtype="float32", self_density=True,
                   layout="bucket", skin=0.15, use_pallas=True,
@@ -42,6 +42,33 @@ for _ in range(3):
     dt = time.perf_counter() - t0
     best = max(best, n * 100 / dt)
 print(f"RESULT 2d rp={{RP}} n={{n}} ps={{best:.4g}} ms_step={{n/best*1000:.3f}}")
+'''
+
+CHILD_DAM = r'''
+# BASELINE config #1: collapse_dry dam break (~10k), TPU wall number.
+import time, sys
+from functools import partial
+import jax, jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
+from sph_mountain_waves_tpu.models import collapse_dry as cd
+from sph_mountain_waves_tpu.models.common import frame_runner
+cfg = cd.Config(dr=0.014, dtype="float32", layout="bucket", skin=0.15,
+                use_pallas=True)  # ~10.2k fluid + walls
+sys_ = cd.make_system(cfg)
+state = sys_.freeze()
+step, init_forces = cd.make_step(cfg, sys_.engine)
+state = jax.jit(init_forces, donate_argnums=0)(state)
+run_frame = frame_runner(step, 200)
+state = run_frame(state)
+float(jnp.sum(state.fields["x"][:, 1]))
+n = sys_.n_built
+best = 0.0
+for _ in range(3):
+    t0 = time.perf_counter()
+    state = run_frame(state)
+    float(jnp.sum(state.fields["x"][:, 1]))
+    best = max(best, n * 200 / (time.perf_counter() - t0))
+print(f"RESULT dam n={n} ps={best:.4g} ms_step={n/best*1000:.4f} dt={cfg.dt:.3e}")
 '''
 
 CHILD_3D = r'''
@@ -154,14 +181,16 @@ def run_job(name, code, timeout_s):
 
 def main():
     # 2-D rp-auto first: cheapest compile, answers the headline question
-    ok2 = run_job("2d_rp_auto", CHILD_2D.format(rp="None"), 1800)
+    ok2 = run_job("2d_rp_auto", CHILD_2D.format(rp="None", n="1e6"), 1800)
     # 3-D rp-auto: the change mainly targets 3-D (nx=384, op-latency-bound)
     ok3 = run_job("3d_rp_auto", CHILD_3D.format(rp="None"), 3600)
     if not ok2:
-        run_job("2d_rp_1", CHILD_2D.format(rp="1"), 1800)
-    # BASELINE per-config numbers (no {rp} placeholders in these)
+        run_job("2d_rp_1", CHILD_2D.format(rp="1", n="1e6"), 1800)
+    # BASELINE per-config numbers
+    run_job("witch_200k", CHILD_2D.format(rp="None", n="2e5"), 1800)
     run_job("isph_200k", CHILD_ISPH, 2400)
     run_job("rb_51k", CHILD_RB, 1800)
+    run_job("dam_10k", CHILD_DAM, 1800)
     with open(LOG, "a") as f:
         f.write(f"BATCH DONE ok2={ok2} ok3={ok3}\n")
 
