@@ -49,7 +49,7 @@ from ..structs import ParticleState
 
 __all__ = ["BucketDomainSharding", "BucketShardEngine",
            "build_bucket_sharding", "shard_state_bucket",
-           "make_bucket_runner"]
+           "make_bucket_runner", "gather_state_bucket"]
 
 GHOST = 2  # ghost columns per side; also the boundary-band width exchanged
 
@@ -228,6 +228,21 @@ def shard_state_bucket(bds: BucketDomainSharding, sys,
                   for k, v in fields.items()}
     return ParticleState(fields=dev_fields,
                          active=jax.device_put(active.reshape(-1), sharding))
+
+
+def gather_state_bucket(bds: BucketDomainSharding,
+                        state: ParticleState) -> ParticleState:
+    """Host-side gather of a bucket-sharded state for frame export and
+    checkpointing: fetch the global arrays once and mask off ghost-column
+    mirrors, so exactly each device's owned active rows remain. The result
+    is a host ParticleState directly consumable by ``io.save_frame`` /
+    ``utils.checkpoint.save_checkpoint`` (each particle appears once —
+    ghost copies are the only duplicates in the sharded layout)."""
+    owned = np.tile(_owned_mask_flat(bds), bds.n_dev)
+    fields = {k: np.asarray(jax.device_get(v))
+              for k, v in state.fields.items()}
+    active = np.asarray(jax.device_get(state.active)) & owned
+    return ParticleState(fields=fields, active=active)
 
 
 # ---------------------------------------------------------------- engine
@@ -581,10 +596,12 @@ class BucketShardEngine:
 # ---------------------------------------------------------------- runner
 
 def make_bucket_runner(bds: BucketDomainSharding, mesh: Mesh, make_step,
-                       steps_per_frame: int = 1):
+                       steps_per_frame: int = 1, finalize=None):
     """(run_frame, diagnostics) over the bucket-sharded state. ``make_step``
     receives a BucketShardEngine, so scheme step functions — including their
-    Pallas fast paths — run unchanged inside shard_map."""
+    Pallas fast paths — run unchanged inside shard_map. ``finalize``
+    (optional, per-slot elementwise) materializes lazy per-frame diagnostics
+    after the scan, exactly like models.common.frame_runner."""
     seng = BucketShardEngine(bds)
     step = make_step(seng)
     spec = P("x")
@@ -598,6 +615,8 @@ def make_bucket_runner(bds: BucketDomainSharding, mesh: Mesh, make_step,
         def body(s, _):
             return step(s), None
         state, _ = jax.lax.scan(body, state, None, length=steps_per_frame)
+        if finalize is not None:
+            state = finalize(state)
         return state
 
     run_frame = jax.jit(shard_step_chunk, donate_argnums=0)

@@ -18,7 +18,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..structs import ParticleState
 from .domain import OWNED, DomainSharding, ShardEngine, make_mesh, shard_state
 
-__all__ = ["make_sharded_runner", "build_domain_sharding"]
+__all__ = ["make_sharded_runner", "build_domain_sharding",
+           "run_sharded_witch", "run_sharded_witch_bucket"]
 
 
 def build_domain_sharding(sys, n_dev: int, halo: int | None = None,
@@ -74,6 +75,77 @@ def make_sharded_runner(ds: DomainSharding, mesh: Mesh, make_step,
         return s / jnp.maximum(n, 1), vmax, n
 
     return run_frame, jax.jit(_diag)
+
+
+def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
+                             n_frames: int | None = None,
+                             steps_per_frame: int | None = None,
+                             slab_axis: int = 0,
+                             out_path: str | None = None,
+                             verbose: bool = False):
+    """Production multi-chip mountain-wave run: the slab-local bucket
+    decomposition (parallel/bucket.py — per-device memory ∝ 1/n_dev, Pallas
+    pair kernels inside shard_map) with the full artifact channel: PVD
+    frames, data.csv, and the velocities figure, via a once-per-frame host
+    gather of owned rows (``gather_state_bucket``). ``run_sharded_witch``
+    (below) keeps the flat-layout cross-check engine."""
+    from ..models import wcsph_perturbed_witch as w
+    from .bucket import (build_bucket_sharding, gather_state_bucket,
+                         make_bucket_runner, shard_state_bucket)
+
+    assert cfg.layout == "bucket", "production sharding needs layout='bucket'"
+    mesh = make_mesh(n_dev)
+    n_dev = mesh.devices.size
+    sys = w.make_system(cfg)
+    sys.freeze()  # builds the global bucket engine (binning authority)
+    bds = build_bucket_sharding(sys, n_dev, slab_axis=slab_axis)
+    state = shard_state_bucket(bds, sys, mesh)
+
+    if steps_per_frame is None:
+        n_steps = int(round(cfg.t_end / cfg.dt))
+        n_frames = n_frames or cfg.n_frames
+        steps_per_frame = max(1, n_steps // max(n_frames, 1))
+    else:
+        n_steps = steps_per_frame * (n_frames or 1)
+
+    run_frame, diag = make_bucket_runner(
+        bds, mesh, lambda eng: w.make_step(cfg, eng), steps_per_frame,
+        finalize=w.make_finalize(cfg) if cfg.lazy_diagnostics else None)
+
+    out = None
+    if out_path:
+        from ..io import new_pvd_file, save_frame, save_pvd_file
+        out = new_pvd_file(out_path)
+        save_frame(out, gather_state_bucket(bds, state),
+                   *w.EXPORT_VARS, time=0.0)
+
+    ts, u_avgs, u_maxs, ns = [], [], [], []
+    k = 0
+    while k < n_steps:
+        state = run_frame(state)
+        k += steps_per_frame
+        u_avg, u_max, n = diag(state)
+        ts.append(k * cfg.dt)
+        u_avgs.append(float(u_avg)); u_maxs.append(float(u_max))
+        ns.append(int(n))
+        if verbose:
+            print(f"t = {ts[-1]:.3f}  n = {ns[-1]}  u_avg = {u_avgs[-1]:.4e}  "
+                  f"u_max = {u_maxs[-1]:.4e}")
+        if out:
+            save_frame(out, gather_state_bucket(bds, state),
+                       *w.EXPORT_VARS, time=ts[-1])
+    if out:
+        import os as _os
+
+        from ..io import save_csv
+        from ..utils.plots import plot_velocities
+        save_pvd_file(out)
+        save_csv(_os.path.join(out.path, "data.csv"),
+                 {"t": ts, "u_avg": u_avgs, "u_max": u_maxs})
+        plot_velocities(out.path, ts, u_avgs, u_maxs)
+    return {"t": np.asarray(ts), "u_avg": np.asarray(u_avgs),
+            "u_max": np.asarray(u_maxs), "n": np.asarray(ns),
+            "state": state, "system": sys, "sharding": bds, "mesh": mesh}
 
 
 def run_sharded_witch(cfg, n_dev: int | None = None, n_frames: int | None = None,
