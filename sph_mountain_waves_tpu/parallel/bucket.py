@@ -49,7 +49,7 @@ from ..structs import ParticleState
 
 __all__ = ["BucketDomainSharding", "BucketShardEngine",
            "build_bucket_sharding", "shard_state_bucket",
-           "make_bucket_runner", "gather_state_bucket"]
+           "make_bucket_runner", "gather_state_bucket", "pick_slab_axis"]
 
 GHOST = 2  # ghost columns per side; also the boundary-band width exchanged
 
@@ -149,6 +149,20 @@ def build_bucket_sharding(sys, n_dev: int,
                                 slab_axis=slab_axis)
 
 
+def pick_slab_axis(engine, n_dev: int) -> int:
+    """Default slab axis for a production run: prefer y in 3-D (the 3-D
+    witch's global nx is already one 128-lane quantum, so x-slabs cannot
+    shrink the local grid — y rounds to ×8 and scales) and x in 2-D, but
+    only where every device gets at least GHOST owned columns (mirrors
+    reach adjacent devices only); fall back to the axis with the most
+    cells."""
+    prefs = (1, 2, 0) if engine.dim == 3 else (0, 1)
+    for a in prefs:
+        if -(-engine.lims[a] // n_dev) >= GHOST:
+            return a
+    return int(np.argmax(engine.lims))
+
+
 def _slab_coord_of_cell(bds: BucketDomainSharding, n: int) -> np.ndarray:
     """Slab-axis component of the first ``n`` flat cell indices (cell =
     ix + nx·(iy + ny·iz))."""
@@ -173,15 +187,21 @@ def _owned_cell_mask(bds: BucketDomainSharding) -> np.ndarray:
 
 
 def shard_state_bucket(bds: BucketDomainSharding, sys,
-                       mesh: Mesh) -> ParticleState:
+                       mesh: Mesh, host: dict | None = None) -> ParticleState:
     """Host-side initial distribution: place each built particle in its
     device's local resident slot (owned columns only; ghost columns fill on
-    the first rebuild — _xref=inf forces a first-step rescatter+refresh)."""
+    the first rebuild — _xref=inf forces a first-step rescatter+refresh).
+
+    ``host`` (optional, name → [n(, d)] arrays) overrides the system's
+    build-chunk fields — used to shard a state transformed after freeze
+    (model ``setup`` hooks: witch3d mass renormalization, hopkins_total /
+    pavelka packing)."""
     g = bds.engine
     eng = bds.local_engine
     L = g.cell_size
     dim = g.dim
-    host = sys.host_fields()
+    if host is None:
+        host = sys.host_fields()
     x = np.asarray(host["x"], dtype=np.float64)
     n = len(x)
     cg = np.floor(x[:, :dim] / L).astype(np.int64) - np.asarray(g.phase)

@@ -80,26 +80,51 @@ def make_sharded_runner(ds: DomainSharding, mesh: Mesh, make_step,
 def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
                              n_frames: int | None = None,
                              steps_per_frame: int | None = None,
-                             slab_axis: int = 0,
+                             slab_axis: int | None = None,
                              out_path: str | None = None,
+                             model=None,
                              verbose: bool = False):
     """Production multi-chip mountain-wave run: the slab-local bucket
     decomposition (parallel/bucket.py — per-device memory ∝ 1/n_dev, Pallas
     pair kernels inside shard_map) with the full artifact channel: PVD
     frames, data.csv, and the velocities figure, via a once-per-frame host
     gather of owned rows (``gather_state_bucket``). ``run_sharded_witch``
-    (below) keeps the flat-layout cross-check engine."""
-    from ..models import wcsph_perturbed_witch as w
+    (below) keeps the flat-layout cross-check engine.
+
+    ``model``: any module with the witch-scheme surface (make_system,
+    make_step, EXPORT_VARS, make_finalize) — default the 2-D WCSPH
+    flagship; pass ``models.witch3d`` for the 3-D stretch config.
+    ``slab_axis`` defaults adaptively (``pick_slab_axis``): x in 2-D, y in
+    3-D (witch3d's global nx is one 128-lane quantum, so x-slabs cannot
+    shrink the local grid), constrained to axes giving every device at
+    least GHOST owned columns."""
     from .bucket import (build_bucket_sharding, gather_state_bucket,
                          make_bucket_runner, shard_state_bucket)
+
+    if model is None:
+        from ..models import wcsph_perturbed_witch as model
+    w = model
 
     assert cfg.layout == "bucket", "production sharding needs layout='bucket'"
     mesh = make_mesh(n_dev)
     n_dev = mesh.devices.size
     sys = w.make_system(cfg)
-    sys.freeze()  # builds the global bucket engine (binning authority)
+    st0 = sys.freeze()  # builds the global bucket engine (binning authority)
+    if slab_axis is None:
+        from .bucket import pick_slab_axis
+        slab_axis = pick_slab_axis(sys.engine, n_dev)
     bds = build_bucket_sharding(sys, n_dev, slab_axis=slab_axis)
-    state = shard_state_bucket(bds, sys, mesh)
+    host = None
+    setup = getattr(w, "setup", None)
+    if setup is not None:
+        # model setup hooks (witch3d mass renormalization, packing) run on
+        # the single-device engine; the transformed active rows are then
+        # re-sharded (the boot chunks would drop the transformation)
+        st0 = setup(cfg, sys.engine, st0)
+        act = np.asarray(jax.device_get(st0.active))
+        host = {k: np.asarray(jax.device_get(v))[act]
+                for k, v in st0.fields.items() if k != "_xref"}
+    state = shard_state_bucket(bds, sys, mesh, host=host)
 
     if steps_per_frame is None:
         n_steps = int(round(cfg.t_end / cfg.dt))
