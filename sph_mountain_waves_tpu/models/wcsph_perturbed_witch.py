@@ -198,7 +198,16 @@ def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
 
     sys = make_system_fn(cfg)
     state = sys.freeze()
-    if setup is not None:
+    resume = getattr(cfg, "resume", "")
+    ckpt_every = getattr(cfg, "checkpoint_every", 0)
+    k = 0
+    if resume:
+        # bitwise restart (utils/checkpoint.py): the saved state already
+        # contains the setup hook's effect and the engine's _xref
+        from ..utils.checkpoint import load_checkpoint
+        state, meta = load_checkpoint(resume)
+        k = int(meta["extra"].get("step", 0))
+    elif setup is not None:
         state = setup(cfg, sys.engine, state)
     step = make_step_fn(cfg, sys.engine)
 
@@ -208,14 +217,15 @@ def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
     diag = jax.jit(velocity_diagnostics)
 
     out = new_pvd_file(out_path) if out_path else None
-    if out:
+    if out and not resume:
         save_frame(out, state, *export_vars, time=0.0)
 
     ts, u_avgs, u_maxs = [], [], []
-    k = 0
+    frame = 0
     while k < n_steps:
         state = run_frame(state)
         k += steps_per_frame
+        frame += 1
         t = k * cfg.dt
         u_avg, u_max = diag(state)
         ts.append(t); u_avgs.append(float(u_avg)); u_maxs.append(float(u_max))
@@ -224,6 +234,11 @@ def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
                   f"u_avg = {float(u_avg):.4e}  u_max = {float(u_max):.4e}")
         if out:
             save_frame(out, state, *export_vars, time=t)
+        if ckpt_every and out and frame % ckpt_every == 0:
+            from ..utils.checkpoint import save_checkpoint
+            save_checkpoint(os.path.join(out.path, "checkpoint.npz"),
+                            state, engine=sys.engine,
+                            extra={"step": k, "t": t})
     if out:
         save_pvd_file(out)
         # reference data.csv / unicodeplots channel

@@ -110,6 +110,14 @@ class WitchConfig:
     # contract; gated at rtol 1e-3 vs the exact path in
     # tests/test_trajectory_fidelity.py.
     fast_math: bool = False
+    # Exact checkpoint/resume (SURVEY §5; utils/checkpoint.py). With
+    # checkpoint_every=k > 0 and an out_path, the run overwrites
+    # <out_path>/checkpoint.npz every k frames (a resume point, not an
+    # archive). resume="<path>.npz" restarts from that state bitwise
+    # (same cfg -> same engine/slots), skipping the setup hook whose
+    # effect the checkpoint already contains.
+    checkpoint_every: int = 0
+    resume: str = ""
 
     @property
     def dr(self) -> float:

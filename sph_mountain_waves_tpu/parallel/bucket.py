@@ -49,7 +49,8 @@ from ..structs import ParticleState
 
 __all__ = ["BucketDomainSharding", "BucketShardEngine",
            "build_bucket_sharding", "shard_state_bucket",
-           "make_bucket_runner", "gather_state_bucket", "pick_slab_axis"]
+           "make_bucket_runner", "gather_state_bucket", "pick_slab_axis",
+           "save_checkpoint_bucket", "load_checkpoint_bucket"]
 
 GHOST = 2  # ghost columns per side; also the boundary-band width exchanged
 
@@ -263,6 +264,41 @@ def gather_state_bucket(bds: BucketDomainSharding,
               for k, v in state.fields.items()}
     active = np.asarray(jax.device_get(state.active)) & owned
     return ParticleState(fields=fields, active=active)
+
+
+def save_checkpoint_bucket(path: str, bds: BucketDomainSharding,
+                           state: ParticleState,
+                           extra: dict | None = None) -> None:
+    """Checkpoint a bucket-sharded run: gather each device's owned active
+    rows to host and persist them compacted (positions/fields only — slot
+    assignment is a layout detail recomputed on restore). Counterpart of
+    ``utils.checkpoint.save_checkpoint`` for the multi-chip path; same npz
+    container (``field:<name>`` arrays + ``__meta__`` JSON). ``_xref`` is
+    dropped: restore forces a first-step rescatter+refresh anyway."""
+    import json
+
+    host = gather_state_bucket(bds, state)
+    act = np.asarray(host.active)
+    arrays = {f"field:{k}": np.asarray(v)[act]
+              for k, v in host.fields.items() if k != "_xref"}
+    meta = {"extra": extra or {}, "n": int(act.sum()),
+            "slab_axis": bds.slab_axis, "n_dev": bds.n_dev}
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_checkpoint_bucket(path: str):
+    """Return ``(host, meta)``: the compacted name → [n(, d)] field arrays
+    (feed as ``shard_state_bucket(..., host=)`` — works on any device count
+    or slab axis, not just the one that saved) and the saved metadata."""
+    import json
+
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    host = {k[len("field:"):]: data[k] for k in data.files
+            if k.startswith("field:")}
+    meta = json.loads(bytes(data["__meta__"].tobytes()).decode())
+    return host, meta
 
 
 # ---------------------------------------------------------------- engine

@@ -83,6 +83,8 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
                              slab_axis: int | None = None,
                              out_path: str | None = None,
                              model=None,
+                             checkpoint_every: int | None = None,
+                             resume: str | None = None,
                              verbose: bool = False):
     """Production multi-chip mountain-wave run: the slab-local bucket
     decomposition (parallel/bucket.py — per-device memory ∝ 1/n_dev, Pallas
@@ -97,9 +99,17 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
     ``slab_axis`` defaults adaptively (``pick_slab_axis``): x in 2-D, y in
     3-D (witch3d's global nx is one 128-lane quantum, so x-slabs cannot
     shrink the local grid), constrained to axes giving every device at
-    least GHOST owned columns."""
+    least GHOST owned columns.
+
+    ``checkpoint_every``: write ``<out_path>/checkpoint.npz`` every that
+    many frames (overwriting — it is a resume point, not an archive).
+    ``resume``: path of a checkpoint to restart from; the saved rows
+    replace the boot state (setup hooks are NOT re-run — their effect is
+    already in the checkpoint) and frame/time counters continue from the
+    saved step."""
     from .bucket import (build_bucket_sharding, gather_state_bucket,
-                         make_bucket_runner, shard_state_bucket)
+                         load_checkpoint_bucket, make_bucket_runner,
+                         save_checkpoint_bucket, shard_state_bucket)
 
     if model is None:
         from ..models import wcsph_perturbed_witch as model
@@ -115,8 +125,12 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
         slab_axis = pick_slab_axis(sys.engine, n_dev)
     bds = build_bucket_sharding(sys, n_dev, slab_axis=slab_axis)
     host = None
+    k0 = 0
+    if resume is not None:
+        host, meta = load_checkpoint_bucket(resume)
+        k0 = int(meta["extra"].get("step", 0))
     setup = getattr(w, "setup", None)
-    if setup is not None:
+    if resume is None and setup is not None:
         # model setup hooks (witch3d mass renormalization, packing) run on
         # the single-device engine; the transformed active rows are then
         # re-sharded (the boot chunks would drop the transformation)
@@ -141,14 +155,17 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
     if out_path:
         from ..io import new_pvd_file, save_frame, save_pvd_file
         out = new_pvd_file(out_path)
-        save_frame(out, gather_state_bucket(bds, state),
-                   *w.EXPORT_VARS, time=0.0)
+        if resume is None:
+            save_frame(out, gather_state_bucket(bds, state),
+                       *w.EXPORT_VARS, time=0.0)
 
     ts, u_avgs, u_maxs, ns = [], [], [], []
-    k = 0
+    k = k0
+    frame = 0
     while k < n_steps:
         state = run_frame(state)
         k += steps_per_frame
+        frame += 1
         u_avg, u_max, n = diag(state)
         ts.append(k * cfg.dt)
         u_avgs.append(float(u_avg)); u_maxs.append(float(u_max))
@@ -159,6 +176,11 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
         if out:
             save_frame(out, gather_state_bucket(bds, state),
                        *w.EXPORT_VARS, time=ts[-1])
+        if checkpoint_every and out_path and frame % checkpoint_every == 0:
+            import os as _os
+            save_checkpoint_bucket(
+                _os.path.join(out_path, "checkpoint.npz"), bds, state,
+                extra={"step": k, "t": ts[-1]})
     if out:
         import os as _os
 

@@ -355,3 +355,32 @@ def test_bucket_sharded_production_run_exports_artifacts(tmp_path):
     u1 = [float(v) for v in velocity_diagnostics(st1)]
     np.testing.assert_allclose([out["u_avg"][-1], out["u_max"][-1]], u1,
                                rtol=1e-10)
+
+
+def test_bucket_sharded_checkpoint_resume(tmp_path):
+    """SURVEY §5 checkpoint/resume on the production multi-chip path: a run
+    checkpointed mid-way and resumed reproduces the uninterrupted
+    trajectory. Restore re-places rows from positions (slot assignment is a
+    layout detail, not physics), so the gate is tight-rtol, not bitwise."""
+    from sph_mountain_waves_tpu.parallel.bucket import load_checkpoint_bucket
+    from sph_mountain_waves_tpu.parallel.run import run_sharded_witch_bucket
+
+    cfg = WitchConfig(n_rows=14, dtype="float64", self_density=True,
+                      layout="bucket", skin=0.3, lazy_diagnostics=True)
+    full = run_sharded_witch_bucket(cfg, n_dev=8, n_frames=2,
+                                    steps_per_frame=5)
+
+    p1 = tmp_path / "part1"
+    run_sharded_witch_bucket(cfg, n_dev=8, n_frames=1, steps_per_frame=5,
+                             out_path=str(p1), checkpoint_every=1)
+    ckpt = str(p1 / "checkpoint.npz")
+    host, meta = load_checkpoint_bucket(ckpt)
+    assert meta["extra"]["step"] == 5 and meta["n"] == len(host["x"])
+
+    res = run_sharded_witch_bucket(cfg, n_dev=8, n_frames=2,
+                                   steps_per_frame=5, resume=ckpt)
+    assert len(res["u_max"]) == 1  # only the remaining frame ran
+    assert res["n"][-1] == full["n"][-1]
+    np.testing.assert_allclose([res["u_avg"][-1], res["u_max"][-1]],
+                               [full["u_avg"][-1], full["u_max"][-1]],
+                               rtol=1e-10)

@@ -99,3 +99,26 @@ def test_lazy_diagnostics_identical():
         a = np.asarray(states[False].fields[f])
         b = np.asarray(states[True].fields[f])
         assert np.array_equal(a, b), f
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    """cfg-driven exact checkpoint/resume in the shared run loop (SURVEY §5):
+    a run checkpointed mid-way and resumed from <out>/checkpoint.npz must
+    reproduce the uninterrupted trajectory BITWISE — the checkpoint restores
+    every slot-shaped field incl. _xref, so the same jitted program replays
+    the identical float sequence."""
+    base = dict(n_rows=16, t_end=0.8, n_frames=2, dtype="float32",
+                self_density=True, layout="bucket", skin=0.2)
+    full = w.run(WitchConfig(**base))
+
+    p1 = tmp_path / "part1"
+    w.run(WitchConfig(**{**base, "t_end": 0.4, "n_frames": 1,
+                         "checkpoint_every": 1}),
+          out_path=str(p1))
+    ckpt = str(p1 / "checkpoint.npz")
+    res = w.run(WitchConfig(**base, resume=ckpt))
+    # resumed run covers only the remaining frames, ending on the same step
+    assert len(res["u_max"]) < len(full["u_max"])
+    assert res["t"][-1] == full["t"][-1]
+    assert res["u_avg"][-1] == full["u_avg"][-1]
+    assert res["u_max"][-1] == full["u_max"][-1]
