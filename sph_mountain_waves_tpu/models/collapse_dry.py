@@ -53,6 +53,9 @@ class Config:
     layout: str = "flat"
     skin: float = 0.0
     use_pallas: bool = False
+    # exact checkpoint/resume, same contract as WitchConfig (SURVEY §5)
+    checkpoint_every: int = 0
+    resume: str = ""
 
     @property
     def h(self) -> float:
@@ -205,18 +208,29 @@ def run(cfg: Config = Config(), out_path: str | None = None, verbose: bool = Fal
     run_frame = frame_runner(step, steps_per_frame)
 
     out = new_pvd_file(out_path) if out_path else None
-    state = jax.jit(init_forces, donate_argnums=0)(state)
-
-    ts, Xs, Hs, Es = [0.0], [], [], []
-    X, H, E = get_globals(cfg, state)
-    Xs.append(float(X)); Hs.append(float(H)); Es.append(float(E))
-    if out:
-        save_frame(out, state, "v", "P", "type", time=0.0)
-
     k = 0
+    if cfg.resume:
+        # bitwise restart (utils/checkpoint.py); the checkpointed state is
+        # post-init_forces, so the half-kick bootstrap must not re-run
+        from ..utils.checkpoint import load_checkpoint
+        state, meta = load_checkpoint(cfg.resume)
+        k = int(meta["extra"].get("step", 0))
+    else:
+        state = jax.jit(init_forces, donate_argnums=0)(state)
+
+    ts, Xs, Hs, Es = [], [], [], []
+    if not k:
+        ts.append(0.0)
+        X, H, E = get_globals(cfg, state)
+        Xs.append(float(X)); Hs.append(float(H)); Es.append(float(E))
+        if out:
+            save_frame(out, state, "v", "P", "type", time=0.0)
+
+    frame = 0
     while k < n_steps:
         state = run_frame(state)
         k += steps_per_frame
+        frame += 1
         t = k * cfg.dt
         X, H, E = get_globals(cfg, state)
         ts.append(t * np.sqrt(-2.0 * cfg.g))
@@ -226,6 +240,13 @@ def run(cfg: Config = Config(), out_path: str | None = None, verbose: bool = Fal
                   f"E = {float(E):.6e}")
         if out:
             save_frame(out, state, "v", "P", "type", time=t)
+        if cfg.checkpoint_every and out and frame % cfg.checkpoint_every == 0:
+            import os as _os
+
+            from ..utils.checkpoint import save_checkpoint
+            save_checkpoint(_os.path.join(out.path, "checkpoint.npz"),
+                            state, engine=sys.engine,
+                            extra={"step": k, "t": t})
     if out:
         save_pvd_file(out)
         # the reference persists the observables as data.csv next to the

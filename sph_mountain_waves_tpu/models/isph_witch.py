@@ -248,6 +248,12 @@ def _run(cfg, out_path, verbose):
 
     sys = make_system(cfg)
     state = sys.freeze()
+    k = 0
+    if getattr(cfg, "resume", ""):
+        # bitwise restart, same contract as _run_witch_scheme
+        from ..utils.checkpoint import load_checkpoint
+        state, meta = load_checkpoint(cfg.resume)
+        k = int(meta["extra"].get("step", 0))
     step = make_step(cfg, sys.engine)
 
     n_steps = max(1, int(round(cfg.t_end / cfg.dt_isph)))
@@ -256,13 +262,14 @@ def _run(cfg, out_path, verbose):
     diag = jax.jit(velocity_diagnostics)
 
     out = new_pvd_file(out_path) if out_path else None
-    if out:
+    if out and not k:
         save_frame(out, state, *EXPORT_VARS, time=0.0)
     ts, u_avgs, u_maxs = [], [], []
-    k = 0
+    frame = 0
     while k < n_steps:
         state = run_frame(state)
         k += steps_per_frame
+        frame += 1
         t = k * cfg.dt_isph
         u_avg, u_max = diag(state)
         ts.append(t); u_avgs.append(float(u_avg)); u_maxs.append(float(u_max))
@@ -271,6 +278,13 @@ def _run(cfg, out_path, verbose):
                   f"u_avg = {float(u_avg):.4e}  u_max = {float(u_max):.4e}")
         if out:
             save_frame(out, state, *EXPORT_VARS, time=t)
+        if cfg.checkpoint_every and out and frame % cfg.checkpoint_every == 0:
+            import os as _os
+
+            from ..utils.checkpoint import save_checkpoint
+            save_checkpoint(_os.path.join(out.path, "checkpoint.npz"),
+                            state, engine=sys.engine,
+                            extra={"step": k, "t": t})
     if out:
         save_pvd_file(out)
         from ..io import save_csv

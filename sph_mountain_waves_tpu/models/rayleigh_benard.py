@@ -57,6 +57,9 @@ class Config:
     layout: str = "flat"
     skin: float = 0.0
     use_pallas: bool = False
+    # exact checkpoint/resume, same contract as WitchConfig (SURVEY §5)
+    checkpoint_every: int = 0
+    resume: str = ""
 
     @property
     def dr(self) -> float:
@@ -235,6 +238,12 @@ def run(cfg: Config = Config(), out_path: str | None = None,
 
     sys = make_system(cfg)
     state = sys.freeze()
+    k = 0
+    if cfg.resume:
+        # bitwise restart, same contract as _run_witch_scheme
+        from ..utils.checkpoint import load_checkpoint
+        state, meta = load_checkpoint(cfg.resume)
+        k = int(meta["extra"].get("step", 0))
     step = make_step(cfg, sys.engine)
     n_steps = max(1, int(round(cfg.t_end / cfg.dt)))
     steps_per_frame = max(1, n_steps // max(cfg.n_frames, 1))
@@ -243,10 +252,11 @@ def run(cfg: Config = Config(), out_path: str | None = None,
 
     out = new_pvd_file(out_path) if out_path else None
     ts, KEs, Nus = [], [], []
-    k = 0
+    frame = 0
     while k < n_steps:
         state = run_frame(state)
         k += steps_per_frame
+        frame += 1
         t = k * cfg.dt
         ke, nu = diag(state)
         ts.append(t); KEs.append(float(ke)); Nus.append(float(nu))
@@ -255,6 +265,13 @@ def run(cfg: Config = Config(), out_path: str | None = None,
                   f"n = {int(state.n)}")
         if out:
             save_frame(out, state, "v", "P", "T", "type", time=t)
+        if cfg.checkpoint_every and out and frame % cfg.checkpoint_every == 0:
+            import os as _os
+
+            from ..utils.checkpoint import save_checkpoint
+            save_checkpoint(_os.path.join(out.path, "checkpoint.npz"),
+                            state, engine=sys.engine,
+                            extra={"step": k, "t": t})
     if out:
         save_pvd_file(out)
         from ..io import save_csv

@@ -47,3 +47,21 @@ def test_collapse_dry_vs_violeau():
     err = np.abs(ours - ref["X"][sel]) / ref["X"][sel]
     assert np.max(err) < 0.016
     assert np.mean(err) < 0.005
+
+
+def test_collapse_dry_checkpoint_resume(tmp_path):
+    """cfg-driven exact restart (SURVEY §5): resume reproduces the
+    uninterrupted trajectory bitwise and does NOT re-run the init_forces
+    half-kick bootstrap (the checkpoint is post-init state)."""
+    base = dict(dr=0.05, t_end=0.4, n_frames=4)
+    full = cd.run(cd.Config(**base))
+
+    p1 = tmp_path / "p1"
+    cd.run(cd.Config(**{**base, "t_end": 0.2, "n_frames": 2,
+                        "checkpoint_every": 2}), out_path=str(p1))
+    res = cd.run(cd.Config(**base, resume=str(p1 / "checkpoint.npz")))
+    assert len(res["X"]) < len(full["X"])
+    assert res["t"][-1] == full["t"][-1]
+    assert res["X"][-1] == full["X"][-1]
+    assert res["H"][-1] == full["H"][-1]
+    assert res["E"][-1] == full["E"][-1]

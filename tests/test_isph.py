@@ -78,3 +78,22 @@ def test_isph_witch_static_and_projection():
     assert d10 < 0.3 * d0        # divergence projected away
     assert ke10 < 0.2 * ke0      # kick decays (projection + sponge)
     assert int(state.n) == sys.n_built
+
+
+def test_isph_witch_checkpoint_resume(tmp_path):
+    """cfg-driven exact restart (SURVEY §5) on the ISPH projection loop:
+    resumed diagnostics match the uninterrupted run bitwise."""
+    from sph_mountain_waves_tpu.models import isph_witch as iw
+
+    base = dict(n_rows=12, dtype="float64", t_end=8.0, n_frames=4)
+    full = iw.run(iw.ISPHWitchConfig(**base))
+
+    p1 = tmp_path / "p1"
+    iw.run(iw.ISPHWitchConfig(**{**base, "t_end": 4.0, "n_frames": 2,
+                                 "checkpoint_every": 2}), out_path=str(p1))
+    res = iw.run(iw.ISPHWitchConfig(**base,
+                                    resume=str(p1 / "checkpoint.npz")))
+    assert len(res["u_max"]) < len(full["u_max"])
+    assert res["t"][-1] == full["t"][-1]
+    assert res["u_avg"][-1] == full["u_avg"][-1]
+    assert res["u_max"][-1] == full["u_max"][-1]

@@ -32,3 +32,19 @@ def test_config_dimensionless_control():
     Ra_back = cfg.g * cfg.beta * cfg.dT * cfg.H**3 / (cfg.nu * cfg.kappa)
     assert abs(Ra_back / cfg.Ra - 1) < 1e-12
     assert abs(cfg.nu / cfg.kappa - cfg.Pr) < 1e-12
+
+
+def test_rayleigh_benard_checkpoint_resume(tmp_path):
+    """cfg-driven exact restart (SURVEY §5) on the thermal-convection
+    model: resumed KE/Nu match the uninterrupted run bitwise."""
+    base = dict(n_rows=24, t_end=0.2, n_frames=4, dtype="float64")
+    full = rb.run(rb.Config(**base))
+
+    p1 = tmp_path / "p1"
+    rb.run(rb.Config(**{**base, "t_end": 0.1, "n_frames": 2,
+                        "checkpoint_every": 2}), out_path=str(p1))
+    res = rb.run(rb.Config(**base, resume=str(p1 / "checkpoint.npz")))
+    assert len(res["KE"]) < len(full["KE"])
+    assert res["t"][-1] == full["t"][-1]
+    assert res["KE"][-1] == full["KE"][-1]
+    assert res["Nu"][-1] == full["Nu"][-1]
