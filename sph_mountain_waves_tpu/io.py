@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import base64
 import os
+import re
 import xml.etree.ElementTree as ET
 
 import numpy as np
@@ -54,10 +55,25 @@ class DataStorage:
         self.entries: list[tuple[float, str]] = []  # (timestep, file)
 
 
-def new_pvd_file(path: str) -> DataStorage:
-    """Create a DataStorage at ``path`` (reference src/IO.jl:20-26)."""
+def new_pvd_file(path: str, resume: bool = False) -> DataStorage:
+    """Create a DataStorage at ``path`` (reference src/IO.jl:20-26).
+
+    ``resume=True`` (a checkpoint-restarted run) restores the frame counter
+    and collection entries from the existing ``result.pvd`` so post-resume
+    frames APPEND to the artifact set instead of overwriting frame0.vtp…;
+    ``save_frame`` rewrites result.pvd incrementally, so a crashed run's
+    collection is recoverable."""
     os.makedirs(path, exist_ok=True)
-    return DataStorage(path)
+    ds = DataStorage(path)
+    pvd = os.path.join(path, "result.pvd")
+    if resume and os.path.exists(pvd):
+        for el in ET.parse(pvd).getroot().iter("DataSet"):
+            f = el.attrib["file"]
+            ds.entries.append((float(el.attrib["timestep"]), f))
+            m = re.match(r"frame(\d+)\.vtp$", os.path.basename(f))
+            if m:
+                ds.frame = max(ds.frame, int(m.group(1)) + 1)
+    return ds
 
 
 def save_pvd_file(data: DataStorage) -> None:
@@ -122,6 +138,9 @@ def save_frame(data: DataStorage, sys, *variables: str, time: float | None = Non
         fh.write("\n".join(parts))
     data.entries.append((data.frame if time is None else time, fname))
     data.frame += 1
+    # keep result.pvd current after every frame (tiny XML): a crashed run's
+    # collection stays openable and a resume can restore the frame counter
+    save_pvd_file(data)
     return fname
 
 
@@ -184,19 +203,29 @@ def import_particles(sys, path: str, constructor=None) -> int:
     return n
 
 
-def save_csv(path: str, columns: dict) -> str:
+def save_csv(path: str, columns: dict, merge_history: bool = False) -> str:
     """Write a time-series CSV of per-frame diagnostics — the reference's
     ``data.csv`` artifact channel (sph_jl/examples/collapse_dry.jl:226-227
     writes a DataFrame of the run observables next to the Paraview output).
 
     ``columns`` maps name -> 1-D sequence; all columns must share a length.
-    Returns the path written."""
+    ``merge_history=True`` (checkpoint-resumed runs): if ``path`` already
+    exists with the same header, its rows whose FIRST column (time) precedes
+    the new first row are kept in front, so the artifact spans the whole
+    run, not just the post-resume frames. Returns the path written."""
     import csv
 
     names = list(columns)
     cols = [np.asarray(columns[n]).reshape(-1) for n in names]
     n = len(cols[0]) if cols else 0
     assert all(len(c) == n for c in cols), "CSV columns must share a length"
+    if merge_history and n and os.path.exists(path):
+        old = read_csv(path)
+        if list(old) == names and len(old[names[0]]):
+            keep = old[names[0]] < float(cols[0][0])
+            cols = [np.concatenate([old[m][keep], c])
+                    for m, c in zip(names, cols)]
+            n = len(cols[0])
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w", newline="") as fh:
         w = csv.writer(fh)

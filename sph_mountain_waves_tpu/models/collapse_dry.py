@@ -25,7 +25,8 @@ from ..grids import Grid
 from ..kernels import rDwendland2, wendland2
 from ..ops.apply import apply_binary, apply_unary
 from ..structs import ParticleState, ParticleSystem, generate_particles
-from .common import frame_runner, masked_max, masked_sum
+from .common import (frame_runner, masked_max, masked_sum, maybe_checkpoint,
+                     maybe_resume)
 
 FLUID = 0.0
 WALL = 1.0
@@ -207,26 +208,22 @@ def run(cfg: Config = Config(), out_path: str | None = None, verbose: bool = Fal
     steps_per_frame = max(1, int(round(cfg.t_end / cfg.n_frames / cfg.dt)))
     run_frame = frame_runner(step, steps_per_frame)
 
-    out = new_pvd_file(out_path) if out_path else None
-    k = 0
-    if cfg.resume:
-        # bitwise restart (utils/checkpoint.py); the checkpointed state is
-        # post-init_forces, so the half-kick bootstrap must not re-run
-        from ..utils.checkpoint import load_checkpoint
-        state, meta = load_checkpoint(cfg.resume)
-        k = int(meta["extra"].get("step", 0))
-    else:
+    # bitwise restart (SURVEY §5); the checkpointed state is post-
+    # init_forces, so the half-kick bootstrap must not re-run on resume
+    state, k0 = maybe_resume(cfg, state)
+    if not k0:
         state = jax.jit(init_forces, donate_argnums=0)(state)
+    out = new_pvd_file(out_path, resume=k0 > 0) if out_path else None
 
     ts, Xs, Hs, Es = [], [], [], []
-    if not k:
+    if not k0:
         ts.append(0.0)
         X, H, E = get_globals(cfg, state)
         Xs.append(float(X)); Hs.append(float(H)); Es.append(float(E))
         if out:
             save_frame(out, state, "v", "P", "type", time=0.0)
 
-    frame = 0
+    k, frame = k0, 0
     while k < n_steps:
         state = run_frame(state)
         k += steps_per_frame
@@ -240,13 +237,7 @@ def run(cfg: Config = Config(), out_path: str | None = None, verbose: bool = Fal
                   f"E = {float(E):.6e}")
         if out:
             save_frame(out, state, "v", "P", "type", time=t)
-        if cfg.checkpoint_every and out and frame % cfg.checkpoint_every == 0:
-            import os as _os
-
-            from ..utils.checkpoint import save_checkpoint
-            save_checkpoint(_os.path.join(out.path, "checkpoint.npz"),
-                            state, engine=sys.engine,
-                            extra={"step": k, "t": t})
+        maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame)
     if out:
         save_pvd_file(out)
         # the reference persists the observables as data.csv next to the
@@ -254,7 +245,8 @@ def run(cfg: Config = Config(), out_path: str | None = None, verbose: bool = Fal
         from ..io import save_csv
         import os as _os
         save_csv(_os.path.join(out.path, "data.csv"),
-                 {"t": ts[: len(Xs)], "X": Xs, "H": Hs, "E": Es})
+                 {"t": ts[: len(Xs)], "X": Xs, "H": Hs, "E": Es},
+                 merge_history=k0 > 0)
         # ... and the make_plot() figures (:232-247): computed X(t)/H(t)
         # with the Violeau / Koshizuka–Oka reference points
         from ..utils.plots import plot_dambreak

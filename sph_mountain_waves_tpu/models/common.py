@@ -17,7 +17,36 @@ import jax.numpy as jnp
 
 from ..structs import ParticleState
 
-__all__ = ["frame_runner", "masked_mean", "masked_max", "masked_sum"]
+__all__ = ["frame_runner", "masked_mean", "masked_max", "masked_sum",
+           "maybe_resume", "maybe_checkpoint"]
+
+
+def maybe_resume(cfg, state):
+    """Apply the cfg-driven checkpoint contract (SURVEY §5): if
+    ``cfg.resume`` names a checkpoint, return its bitwise-restored state
+    and saved step counter; otherwise ``(state, 0)``. Callers must skip
+    their setup/bootstrap hooks when the returned step is nonzero — the
+    checkpoint already contains their effect."""
+    resume = getattr(cfg, "resume", "")
+    if not resume:
+        return state, 0
+    from ..utils.checkpoint import load_checkpoint
+    state, meta = load_checkpoint(resume)
+    return state, int(meta["extra"].get("step", 0))
+
+
+def maybe_checkpoint(cfg, out, state, engine, k, t, frame) -> None:
+    """Overwrite ``<out.path>/checkpoint.npz`` (atomically) every
+    ``cfg.checkpoint_every`` frames. No-op without an output directory or
+    with the feature off."""
+    every = getattr(cfg, "checkpoint_every", 0)
+    if not (every and out and frame % every == 0):
+        return
+    import os
+
+    from ..utils.checkpoint import save_checkpoint
+    save_checkpoint(os.path.join(out.path, "checkpoint.npz"), state,
+                    engine=engine, extra={"step": k, "t": t})
 
 
 def frame_runner(step_fn: Callable[[ParticleState], ParticleState],

@@ -244,16 +244,11 @@ def run(cfg: ISPHWitchConfig | None = None, out_path: str | None = None,
 
 def _run(cfg, out_path, verbose):
     from ..io import new_pvd_file, save_frame, save_pvd_file
-    from .common import frame_runner
+    from .common import frame_runner, maybe_checkpoint, maybe_resume
 
     sys = make_system(cfg)
     state = sys.freeze()
-    k = 0
-    if getattr(cfg, "resume", ""):
-        # bitwise restart, same contract as _run_witch_scheme
-        from ..utils.checkpoint import load_checkpoint
-        state, meta = load_checkpoint(cfg.resume)
-        k = int(meta["extra"].get("step", 0))
+    state, k0 = maybe_resume(cfg, state)  # bitwise restart (SURVEY §5)
     step = make_step(cfg, sys.engine)
 
     n_steps = max(1, int(round(cfg.t_end / cfg.dt_isph)))
@@ -261,11 +256,11 @@ def _run(cfg, out_path, verbose):
     run_frame = frame_runner(step, steps_per_frame)
     diag = jax.jit(velocity_diagnostics)
 
-    out = new_pvd_file(out_path) if out_path else None
-    if out and not k:
+    out = new_pvd_file(out_path, resume=k0 > 0) if out_path else None
+    if out and not k0:
         save_frame(out, state, *EXPORT_VARS, time=0.0)
     ts, u_avgs, u_maxs = [], [], []
-    frame = 0
+    k, frame = k0, 0
     while k < n_steps:
         state = run_frame(state)
         k += steps_per_frame
@@ -278,19 +273,14 @@ def _run(cfg, out_path, verbose):
                   f"u_avg = {float(u_avg):.4e}  u_max = {float(u_max):.4e}")
         if out:
             save_frame(out, state, *EXPORT_VARS, time=t)
-        if cfg.checkpoint_every and out and frame % cfg.checkpoint_every == 0:
-            import os as _os
-
-            from ..utils.checkpoint import save_checkpoint
-            save_checkpoint(_os.path.join(out.path, "checkpoint.npz"),
-                            state, engine=sys.engine,
-                            extra={"step": k, "t": t})
+        maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame)
     if out:
         save_pvd_file(out)
         from ..io import save_csv
         import os as _os
         save_csv(_os.path.join(out.path, "data.csv"),
-                 {"t": ts, "u_avg": u_avgs, "u_max": u_maxs})
+                 {"t": ts, "u_avg": u_avgs, "u_max": u_maxs},
+                 merge_history=k0 > 0)
         from ..utils.plots import plot_velocities
         plot_velocities(out.path, ts, u_avgs, u_maxs)
     sys.state = state

@@ -73,6 +73,9 @@ class LegacyConfig:
     adiabatic: bool = False
     max_spawn: int = 256
     dtype: str = "float32"
+    # exact checkpoint/resume, same contract as WitchConfig (SURVEY §5)
+    checkpoint_every: int = 0
+    resume: str = ""
     # isothermal files use cp = 7·R_gas/2 (isothermal_static_witch.jl:43 —
     # the universal constant, unlike current/ which uses R_mass);
     # adiabatic files use cp = 7·R_mass/2 (adiabatic_static_witch.jl:50)

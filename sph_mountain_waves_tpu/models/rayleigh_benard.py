@@ -31,7 +31,8 @@ from ..grids import Grid
 from ..kernels import rDwendland2
 from ..ops.apply import apply_binary, apply_unary
 from ..structs import ParticleState, ParticleSystem, generate_particles
-from .common import frame_runner, masked_mean, masked_sum
+from .common import (frame_runner, masked_mean, masked_sum, maybe_checkpoint,
+                     maybe_resume)
 
 FLUID = 0.0
 WALL = 1.0
@@ -238,21 +239,16 @@ def run(cfg: Config = Config(), out_path: str | None = None,
 
     sys = make_system(cfg)
     state = sys.freeze()
-    k = 0
-    if cfg.resume:
-        # bitwise restart, same contract as _run_witch_scheme
-        from ..utils.checkpoint import load_checkpoint
-        state, meta = load_checkpoint(cfg.resume)
-        k = int(meta["extra"].get("step", 0))
+    state, k0 = maybe_resume(cfg, state)  # bitwise restart (SURVEY §5)
     step = make_step(cfg, sys.engine)
     n_steps = max(1, int(round(cfg.t_end / cfg.dt)))
     steps_per_frame = max(1, n_steps // max(cfg.n_frames, 1))
     run_frame = frame_runner(step, steps_per_frame)
     diag = jax.jit(lambda s: diagnostics(cfg, s))
 
-    out = new_pvd_file(out_path) if out_path else None
+    out = new_pvd_file(out_path, resume=k0 > 0) if out_path else None
     ts, KEs, Nus = [], [], []
-    frame = 0
+    k, frame = k0, 0
     while k < n_steps:
         state = run_frame(state)
         k += steps_per_frame
@@ -265,19 +261,13 @@ def run(cfg: Config = Config(), out_path: str | None = None,
                   f"n = {int(state.n)}")
         if out:
             save_frame(out, state, "v", "P", "T", "type", time=t)
-        if cfg.checkpoint_every and out and frame % cfg.checkpoint_every == 0:
-            import os as _os
-
-            from ..utils.checkpoint import save_checkpoint
-            save_checkpoint(_os.path.join(out.path, "checkpoint.npz"),
-                            state, engine=sys.engine,
-                            extra={"step": k, "t": t})
+        maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame)
     if out:
         save_pvd_file(out)
         from ..io import save_csv
         import os as _os
         save_csv(_os.path.join(out.path, "data.csv"),
-                 {"t": ts, "KE": KEs, "Nu": Nus})
+                 {"t": ts, "KE": KEs, "Nu": Nus}, merge_history=k0 > 0)
         from ..utils.plots import plot_series
         plot_series(_os.path.join(out.path, "kinetic_energy.pdf"), ts,
                     {"KE": KEs}, ylabel="kinetic energy (J)")

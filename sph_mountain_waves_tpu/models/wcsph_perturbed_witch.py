@@ -24,7 +24,7 @@ import numpy as np
 from ..kernels import rDwendland2, wendland2
 from ..ops.apply import apply_binary, apply_unary
 from ..structs import ParticleState, ParticleSystem
-from .common import frame_runner
+from .common import frame_runner, maybe_checkpoint, maybe_resume
 from .witch_common import (
     FLUID, WitchConfig, background_density_j, background_pot_temperature_j,
     make_witch_system, rayleigh_damping, velocity_diagnostics,
@@ -198,16 +198,8 @@ def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
 
     sys = make_system_fn(cfg)
     state = sys.freeze()
-    resume = getattr(cfg, "resume", "")
-    ckpt_every = getattr(cfg, "checkpoint_every", 0)
-    k = 0
-    if resume:
-        # bitwise restart (utils/checkpoint.py): the saved state already
-        # contains the setup hook's effect and the engine's _xref
-        from ..utils.checkpoint import load_checkpoint
-        state, meta = load_checkpoint(resume)
-        k = int(meta["extra"].get("step", 0))
-    elif setup is not None:
+    state, k0 = maybe_resume(cfg, state)  # bitwise restart (SURVEY §5)
+    if not k0 and setup is not None:
         state = setup(cfg, sys.engine, state)
     step = make_step_fn(cfg, sys.engine)
 
@@ -216,12 +208,12 @@ def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
     run_frame = frame_runner(step, steps_per_frame, finalize=finalize)
     diag = jax.jit(velocity_diagnostics)
 
-    out = new_pvd_file(out_path) if out_path else None
-    if out and not resume:
+    out = new_pvd_file(out_path, resume=k0 > 0) if out_path else None
+    if out and not k0:
         save_frame(out, state, *export_vars, time=0.0)
 
     ts, u_avgs, u_maxs = [], [], []
-    frame = 0
+    k, frame = k0, 0
     while k < n_steps:
         state = run_frame(state)
         k += steps_per_frame
@@ -234,18 +226,15 @@ def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
                   f"u_avg = {float(u_avg):.4e}  u_max = {float(u_max):.4e}")
         if out:
             save_frame(out, state, *export_vars, time=t)
-        if ckpt_every and out and frame % ckpt_every == 0:
-            from ..utils.checkpoint import save_checkpoint
-            save_checkpoint(os.path.join(out.path, "checkpoint.npz"),
-                            state, engine=sys.engine,
-                            extra={"step": k, "t": t})
+        maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame)
     if out:
         save_pvd_file(out)
         # reference data.csv / unicodeplots channel
         # (src/current/wcsph_perturbed_witch.jl:393-405)
         from ..io import save_csv
         save_csv(os.path.join(out.path, "data.csv"),
-                 {"t": ts, "u_avg": u_avgs, "u_max": u_maxs})
+                 {"t": ts, "u_avg": u_avgs, "u_max": u_maxs},
+                 merge_history=k0 > 0)
         # the reference's two-panel velocities figure (:393-405; its
         # savefig is committed commented-out — written here so production
         # runs keep their diagnostics)

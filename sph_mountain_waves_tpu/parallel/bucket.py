@@ -151,17 +151,25 @@ def build_bucket_sharding(sys, n_dev: int,
 
 
 def pick_slab_axis(engine, n_dev: int) -> int:
-    """Default slab axis for a production run: prefer y in 3-D (the 3-D
-    witch's global nx is already one 128-lane quantum, so x-slabs cannot
-    shrink the local grid — y rounds to ×8 and scales) and x in 2-D, but
-    only where every device gets at least GHOST owned columns (mirrors
-    reach adjacent devices only); fall back to the axis with the most
-    cells."""
-    prefs = (1, 2, 0) if engine.dim == 3 else (0, 1)
-    for a in prefs:
-        if -(-engine.lims[a] // n_dev) >= GHOST:
-            return a
-    return int(np.argmax(engine.lims))
+    """Default slab axis for a production run: the axis whose slab-local
+    grid (slab + 2-ghost band, rounded up to that axis's tile quantum —
+    ×128 lanes on x, ×8 sublanes on y) is SMALLEST relative to the global
+    grid, i.e. the axis where slicing actually shrinks per-device memory
+    and stencil work. This is what makes y win for the 3-D witch (global
+    nx is one 128-lane quantum — x-slabs round straight back to it) and x
+    win for the wide 2-D witch. Axes too shallow for the ghost depth
+    (slab_w < GHOST: mirrors only reach adjacent devices) are excluded;
+    if none qualifies, fall back to the axis with the most cells."""
+    best, best_ratio = None, None
+    for a in range(engine.dim):
+        slab_w = -(-engine.lims[a] // n_dev)
+        if slab_w < GHOST:
+            continue
+        local = _round_up(slab_w + 2 * GHOST, _AXIS_QUANTUM[a])
+        ratio = local / engine.lims[a]
+        if best_ratio is None or ratio < best_ratio:
+            best, best_ratio = a, ratio
+    return int(np.argmax(engine.lims)) if best is None else best
 
 
 def _slab_coord_of_cell(bds: BucketDomainSharding, n: int) -> np.ndarray:
@@ -268,36 +276,51 @@ def gather_state_bucket(bds: BucketDomainSharding,
 
 def save_checkpoint_bucket(path: str, bds: BucketDomainSharding,
                            state: ParticleState,
-                           extra: dict | None = None) -> None:
+                           extra: dict | None = None,
+                           host_state: ParticleState | None = None) -> None:
     """Checkpoint a bucket-sharded run: gather each device's owned active
     rows to host and persist them compacted (positions/fields only — slot
     assignment is a layout detail recomputed on restore). Counterpart of
     ``utils.checkpoint.save_checkpoint`` for the multi-chip path; same npz
-    container (``field:<name>`` arrays + ``__meta__`` JSON). ``_xref`` is
-    dropped: restore forces a first-step rescatter+refresh anyway."""
+    container (``field:<name>`` arrays + ``__meta__`` JSON), atomic write.
+    ``_xref`` is dropped: restore forces a first-step rescatter+refresh
+    anyway. ``host_state``: a pre-gathered ``gather_state_bucket`` result
+    (runners that just exported a frame pass it to avoid re-fetching the
+    full state over the device link)."""
     import json
 
-    host = gather_state_bucket(bds, state)
+    from ..utils.checkpoint import atomic_savez
+
+    host = host_state if host_state is not None \
+        else gather_state_bucket(bds, state)
     act = np.asarray(host.active)
     arrays = {f"field:{k}": np.asarray(v)[act]
               for k, v in host.fields.items() if k != "_xref"}
-    meta = {"extra": extra or {}, "n": int(act.sum()),
+    meta = {"extra": extra or {}, "n": int(act.sum()), "format": "rows",
             "slab_axis": bds.slab_axis, "n_dev": bds.n_dev}
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **arrays)
+    atomic_savez(path, arrays)
 
 
 def load_checkpoint_bucket(path: str):
     """Return ``(host, meta)``: the compacted name → [n(, d)] field arrays
     (feed as ``shard_state_bucket(..., host=)`` — works on any device count
-    or slab axis, not just the one that saved) and the saved metadata."""
+    or slab axis, not just the one that saved) and the saved metadata.
+    Rejects ``"slots"``-format (single-device, slot-shaped) checkpoints:
+    their inactive zero rows would be loaded as particles at the origin."""
     import json
 
     data = np.load(path if path.endswith(".npz") else path + ".npz")
     host = {k[len("field:"):]: data[k] for k in data.files
             if k.startswith("field:")}
     meta = json.loads(bytes(data["__meta__"].tobytes()).decode())
+    fmt = meta.get("format", "slots" if "active" in data.files else "rows")
+    if fmt != "rows":
+        raise ValueError(
+            f"{path} is a {fmt!r}-format checkpoint (full slot-shaped "
+            "single-device state) — restore it with "
+            "utils.checkpoint.load_checkpoint / the model's cfg.resume")
     return host, meta
 
 

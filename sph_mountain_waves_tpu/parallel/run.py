@@ -154,7 +154,7 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
     out = None
     if out_path:
         from ..io import new_pvd_file, save_frame, save_pvd_file
-        out = new_pvd_file(out_path)
+        out = new_pvd_file(out_path, resume=resume is not None)
         if resume is None:
             save_frame(out, gather_state_bucket(bds, state),
                        *w.EXPORT_VARS, time=0.0)
@@ -173,14 +173,18 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
         if verbose:
             print(f"t = {ts[-1]:.3f}  n = {ns[-1]}  u_avg = {u_avgs[-1]:.4e}  "
                   f"u_max = {u_maxs[-1]:.4e}")
+        ckpt_due = (checkpoint_every and out_path
+                    and frame % checkpoint_every == 0)
+        # one device->host gather feeds both the frame and the checkpoint
+        # (the full state is multi-GB at production scale over the tunnel)
+        hstate = gather_state_bucket(bds, state) if (out or ckpt_due) else None
         if out:
-            save_frame(out, gather_state_bucket(bds, state),
-                       *w.EXPORT_VARS, time=ts[-1])
-        if checkpoint_every and out_path and frame % checkpoint_every == 0:
+            save_frame(out, hstate, *w.EXPORT_VARS, time=ts[-1])
+        if ckpt_due:
             import os as _os
             save_checkpoint_bucket(
                 _os.path.join(out_path, "checkpoint.npz"), bds, state,
-                extra={"step": k, "t": ts[-1]})
+                extra={"step": k, "t": ts[-1]}, host_state=hstate)
     if out:
         import os as _os
 
@@ -188,7 +192,8 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
         from ..utils.plots import plot_velocities
         save_pvd_file(out)
         save_csv(_os.path.join(out.path, "data.csv"),
-                 {"t": ts, "u_avg": u_avgs, "u_max": u_maxs})
+                 {"t": ts, "u_avg": u_avgs, "u_max": u_maxs},
+                 merge_history=k0 > 0)
         plot_velocities(out.path, ts, u_avgs, u_maxs)
     return {"t": np.asarray(ts), "u_avg": np.asarray(u_avgs),
             "u_max": np.asarray(u_maxs), "n": np.asarray(ns),

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..structs import ParticleState
 
-__all__ = ["save_checkpoint", "load_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "atomic_savez"]
 
 
 def save_checkpoint(path: str, state: ParticleState, engine=None,
@@ -24,7 +24,7 @@ def save_checkpoint(path: str, state: ParticleState, engine=None,
     """Write state (bitwise) + engine config + optional scalars to ``path``."""
     arrays = {f"field:{k}": np.asarray(v) for k, v in state.fields.items()}
     arrays["active"] = np.asarray(state.active)
-    meta = {"extra": extra or {}}
+    meta = {"extra": extra or {}, "format": "slots"}
     if engine is not None:
         meta["engine"] = {
             "dim": engine.dim, "h": engine.h, "phase": list(engine.phase),
@@ -35,7 +35,21 @@ def save_checkpoint(path: str, state: ParticleState, engine=None,
         }
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **arrays)
+    atomic_savez(path, arrays)
+
+
+def atomic_savez(path: str, arrays: dict) -> None:
+    """Write an npz atomically: a crash mid-write must never destroy the
+    previous good checkpoint (the overwritten file IS the resume point), so
+    compress to <path>.tmp and os.replace into place."""
+    import os
+
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:  # file handle: savez must not append .npz
+        np.savez_compressed(fh, **arrays)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str):
@@ -52,6 +66,12 @@ def load_checkpoint(path: str):
             active = jnp.asarray(data[k])
         elif k.startswith("field:"):
             fields[k[len("field:"):]] = jnp.asarray(data[k])
+    fmt = meta.get("format", "slots")
+    if fmt != "slots":
+        raise ValueError(
+            f"{path} is a {fmt!r}-format checkpoint (compact rows from a "
+            "sharded run) — restore it with parallel.bucket."
+            "load_checkpoint_bucket / run_sharded_witch_bucket(resume=)")
     return ParticleState(fields=fields, active=active), meta
 
 

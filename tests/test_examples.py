@@ -118,3 +118,40 @@ def test_checkpoint_bitwise_resume(tmp_path):
     for name in ref.fields:
         np.testing.assert_array_equal(np.asarray(ref.fields[name]),
                                       np.asarray(state2.fields[name]), err_msg=name)
+
+
+def test_checkpoint_format_cross_rejection(tmp_path):
+    """The two checkpoint formats share the npz container but have
+    incompatible semantics (full slot-shaped state vs compacted owned
+    rows); each loader must reject the other's file with a clear error
+    instead of loading inactive zero rows as particles."""
+    import jax
+    import pytest
+    from sph_mountain_waves_tpu.models import wcsph_perturbed_witch as w
+    from sph_mountain_waves_tpu.models.witch_common import WitchConfig
+    from sph_mountain_waves_tpu.parallel.bucket import load_checkpoint_bucket
+    from sph_mountain_waves_tpu.utils.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+
+    cfg = WitchConfig(n_rows=12, dtype="float32", self_density=True,
+                      layout="bucket", skin=0.2)
+    sys = w.make_system(cfg)
+    state = sys.freeze()
+    slots_path = str(tmp_path / "slots.npz")
+    save_checkpoint(slots_path, state, sys.engine, extra={"step": 1})
+    with pytest.raises(ValueError, match="slots"):
+        load_checkpoint_bucket(slots_path)
+
+    # sharded save of the same run -> rejected by the slot loader
+    from jax.sharding import Mesh
+    from sph_mountain_waves_tpu.parallel.bucket import (
+        build_bucket_sharding, save_checkpoint_bucket, shard_state_bucket,
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    bds = build_bucket_sharding(sys, 8)
+    st = shard_state_bucket(bds, sys, mesh)
+    rows_path = str(tmp_path / "rows.npz")
+    save_checkpoint_bucket(rows_path, bds, st, extra={"step": 0})
+    with pytest.raises(ValueError, match="rows"):
+        load_checkpoint(rows_path)

@@ -116,9 +116,29 @@ def test_checkpoint_resume_bitwise(tmp_path):
                          "checkpoint_every": 1}),
           out_path=str(p1))
     ckpt = str(p1 / "checkpoint.npz")
-    res = w.run(WitchConfig(**base, resume=ckpt))
+    # resume into the SAME output directory: artifacts must continue, not
+    # restart — frame numbering appends, result.pvd lists both segments,
+    # data.csv merges the pre-resume history
+    res = w.run(WitchConfig(**base, resume=ckpt), out_path=str(p1))
     # resumed run covers only the remaining frames, ending on the same step
     assert len(res["u_max"]) < len(full["u_max"])
     assert res["t"][-1] == full["t"][-1]
     assert res["u_avg"][-1] == full["u_avg"][-1]
     assert res["u_max"][-1] == full["u_max"][-1]
+
+    import xml.etree.ElementTree as ET
+
+    from sph_mountain_waves_tpu import read_vtp
+    from sph_mountain_waves_tpu.io import read_csv
+    times = [float(el.attrib["timestep"]) for el in
+             ET.parse(p1 / "result.pvd").getroot().iter("DataSet")]
+    assert times == sorted(times) and times[0] == 0.0  # both segments listed
+    assert times[-1] == res["t"][-1]
+    frames = sorted(int(f.stem[5:]) for f in p1.glob("frame*.vtp"))
+    assert frames == list(range(len(times)))  # appended, no overwrite gaps
+    pts0, _ = read_vtp(str(p1 / "frame0.vtp"))  # t=0 frame survives resume
+    assert len(pts0) > 0
+    data = read_csv(str(p1 / "data.csv"))  # merged history spans the run
+    np.testing.assert_allclose(data["u_max"][-len(res["u_max"]):],
+                               res["u_max"], rtol=1e-6)
+    assert data["t"][0] < res["t"][0]

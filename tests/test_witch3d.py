@@ -184,3 +184,7 @@ def test_pick_slab_axis():
     assert pick_slab_axis(eng((384, 8, 48)), 8) == 2    # y too shallow
     assert pick_slab_axis(eng((384, 8, 8)), 8) == 0     # only x scales
     assert pick_slab_axis(eng((1152, 16)), 8) == 0      # 2-D witch
+    # narrow-x 2-D grid: x-slabs round straight back to the 128-lane
+    # quantum (zero shrink) — the heuristic must measure that, not just
+    # prefer x in 2-D
+    assert pick_slab_axis(eng((128, 512)), 8) == 1
