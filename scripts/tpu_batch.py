@@ -163,6 +163,43 @@ print(f"RESULT rb n={n} ms_step={best*1000:.3f} ps={n/best:.4g}")
 '''
 
 
+CHILD_TERRAIN = r'''
+# BASELINE config #3: flow over terrain (~213k, inflow recycling + wave drag)
+import time, sys
+from functools import partial
+import jax, jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
+from sph_mountain_waves_tpu.models import legacy_witch as lw
+cfg = lw.terrain_baseline_config()
+sys_ = lw.make_system(cfg)
+sys_.freeze_opts["capacity"] = int(sys_.n_built * 1.3)
+sys_.freeze_opts["rescatter_mode"] = "sort"  # spawn pool teleports rows
+sys_.freeze_opts["layout"] = "bucket"  # eps-identical to flat (test_legacy)
+sys_.freeze_opts["skin"] = 0.15
+state = sys_.freeze()
+step = lw.make_step(cfg, sys_.engine)
+n = sys_.n_built
+print("built n =", n, flush=True)
+@partial(jax.jit, donate_argnums=0)
+def run(s):
+    s, _ = jax.lax.scan(lambda s, _: (step(s), None), s, None, length=50)
+    return s
+t0 = time.perf_counter()
+state = run(state)
+float(jnp.sum(state.fields["x"][:, 1]))
+print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
+best = 1e9
+for _ in range(3):
+    t0 = time.perf_counter()
+    state = run(state)
+    float(jnp.sum(state.fields["x"][:, 1]))
+    best = min(best, (time.perf_counter() - t0) / 50)
+F = lw.mountain_force(state)
+print(f"RESULT terrain n={n} ms_step={best*1000:.3f} ps={n/best:.4g} "
+      f"drag={float(F['drag']):.4g}")
+'''
+
+
 def run_job(name, code, timeout_s):
     with open(LOG, "a") as f:
         f.write(f"--- {name} start {time.strftime('%H:%M:%S')}\n")
@@ -191,6 +228,7 @@ def main():
     run_job("isph_200k", CHILD_ISPH, 2400)
     run_job("rb_51k", CHILD_RB, 1800)
     run_job("dam_10k", CHILD_DAM, 1800)
+    run_job("terrain_213k", CHILD_TERRAIN, 2400)
     with open(LOG, "a") as f:
         f.write(f"BATCH DONE ok2={ok2} ok3={ok3}\n")
 

@@ -345,6 +345,23 @@ def make_step(cfg: LegacyConfig, engine):
     return step
 
 
+def mountain_force(state: ParticleState) -> dict:
+    """Net SPH force the air exerts on the terrain: Σ m·Dv over MOUNTAIN
+    rows — the reference's obstacle-force pattern (calculate_force,
+    sph_jl/examples/cylinder.jl:163-169) applied to the Witch of Agnesi.
+    Mountain–mountain pair contributions cancel exactly (the symmetric
+    pressure/viscous pair force is antisymmetric under p↔q), so the sum is
+    the external force alone. Gravity and Rayleigh damping never enter Dv
+    (they are applied inside accelerate), so the x-component is the
+    **mountain-wave drag** — the BASELINE north-star observable for flow
+    over terrain. Returns {"drag": F_x, "lift": F_y} (N per meter of
+    spanwise depth in 2-D)."""
+    f = state.fields
+    w = (state.active & (f["type"] == MOUNTAIN)).astype(f["Dv"].dtype)
+    F = jnp.sum((w * f["m"])[:, None] * f["Dv"], axis=0)
+    return {"drag": F[0], "lift": F[1]}
+
+
 def run(cfg: LegacyConfig, out_path: str | None = None, verbose: bool = False,
         packing: bool = False, capacity_factor: float = 1.3):
     """Shared main loop for all four legacy schemes."""
@@ -367,7 +384,8 @@ def run(cfg: LegacyConfig, out_path: str | None = None, verbose: bool = False,
 
     return _run_witch_scheme(cfg, _make_system, make_step,
                              ("v", "P", "theta", "rho", "type"),
-                             out_path, verbose, setup=setup)
+                             out_path, verbose, setup=setup,
+                             extra_diag=mountain_force)
 
 
 # named configurations mapping 1:1 to the reference files
@@ -393,3 +411,15 @@ def adiabatic_flow_config(**kw) -> LegacyConfig:
     kw.setdefault("n_rows", 75)
     kw.setdefault("t_end", 200.0)
     return LegacyConfig(flow=True, adiabatic=True, **kw)
+
+
+def terrain_baseline_config(**kw) -> LegacyConfig:
+    """BASELINE config #3 — "2D stratified mountain-wave flow over terrain,
+    ~200k particles": the isothermal flow scheme (U=20 m/s wind, inflow
+    recycling) at the reference terrain (hₘ=13 km, a=10 km,
+    src/legacy/isothermal_flow_witch.jl:30-34) scaled from the file's
+    n_rows=100 to n_rows=228 (square lattice ⇒ N ≈ n_rows²·L/H ≈ 2.0e5
+    including the mountain body). Wave drag/lift are exported per frame
+    (``mountain_force``)."""
+    kw.setdefault("n_rows", 228)
+    return isothermal_flow_config(**kw)

@@ -191,9 +191,12 @@ def run(cfg: WitchConfig = WitchConfig(), out_path: str | None = None,
 
 def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
                       out_path=None, verbose=False, setup=None,
-                      finalize=None):
+                      finalize=None, extra_diag=None):
     """Shared main() skeleton of all witch schemes (SURVEY §2.2).
-    ``finalize`` (lazy-diagnostics schemes) runs inside the per-frame jit."""
+    ``finalize`` (lazy-diagnostics schemes) runs inside the per-frame jit.
+    ``extra_diag(state) -> {name: scalar}`` adds scheme-specific per-frame
+    observables (e.g. the legacy terrain schemes' mountain drag/lift) to the
+    time series, the CSV channel, and the returned dict."""
     from ..io import new_pvd_file, save_frame, save_pvd_file
 
     sys = make_system_fn(cfg)
@@ -207,12 +210,14 @@ def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
     steps_per_frame = max(1, int(round(cfg.t_end / cfg.n_frames / cfg.dt)))
     run_frame = frame_runner(step, steps_per_frame, finalize=finalize)
     diag = jax.jit(velocity_diagnostics)
+    extra_diag_j = jax.jit(extra_diag) if extra_diag is not None else None
 
     out = new_pvd_file(out_path, resume=k0 > 0) if out_path else None
     if out and not k0:
         save_frame(out, state, *export_vars, time=0.0)
 
     ts, u_avgs, u_maxs = [], [], []
+    extra_hist: dict = {}
     k, frame = k0, 0
     while k < n_steps:
         state = run_frame(state)
@@ -221,9 +226,17 @@ def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
         t = k * cfg.dt
         u_avg, u_max = diag(state)
         ts.append(t); u_avgs.append(float(u_avg)); u_maxs.append(float(u_max))
+        extras = {}
+        if extra_diag_j is not None:
+            extras = {name: float(v)
+                      for name, v in extra_diag_j(state).items()}
+            for name, v in extras.items():
+                extra_hist.setdefault(name, []).append(v)
         if verbose:
+            tail = "".join(f"  {n} = {v:.4e}" for n, v in extras.items())
             print(f"t = {t:.3f}  n = {int(state.n)}  "
-                  f"u_avg = {float(u_avg):.4e}  u_max = {float(u_max):.4e}")
+                  f"u_avg = {float(u_avg):.4e}  u_max = {float(u_max):.4e}"
+                  + tail)
         if out:
             save_frame(out, state, *export_vars, time=t)
         maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame)
@@ -233,7 +246,7 @@ def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
         # (src/current/wcsph_perturbed_witch.jl:393-405)
         from ..io import save_csv
         save_csv(os.path.join(out.path, "data.csv"),
-                 {"t": ts, "u_avg": u_avgs, "u_max": u_maxs},
+                 {"t": ts, "u_avg": u_avgs, "u_max": u_maxs, **extra_hist},
                  merge_history=k0 > 0)
         # the reference's two-panel velocities figure (:393-405; its
         # savefig is committed commented-out — written here so production
@@ -242,4 +255,6 @@ def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
         plot_velocities(out.path, ts, u_avgs, u_maxs)
     sys.state = state
     return {"t": np.asarray(ts), "u_avg": np.asarray(u_avgs),
-            "u_max": np.asarray(u_maxs), "state": state, "system": sys}
+            "u_max": np.asarray(u_maxs),
+            **{name: np.asarray(v) for name, v in extra_hist.items()},
+            "state": state, "system": sys}

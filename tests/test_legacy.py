@@ -42,6 +42,28 @@ def test_legacy_flow_schemes(factory, kw):
     assert np.isfinite(out["u_avg"]).all()
 
 
+def test_mountain_wave_drag():
+    """Wave drag on the terrain (BASELINE north-star observable): with a
+    U=20 m/s wind over a resolved Witch of Agnesi the SPH force on the
+    MOUNTAIN body has a robustly positive x-component; in the windless
+    static atmosphere the same diagnostic cancels to force-summation noise
+    (symmetric hydrostatic pressure), many orders below the hydrostatic
+    lift. Discrimination gate, not a magnitude gate — the reference terrain
+    is deep in the nonlinear (blocked-flow) regime where no closed form
+    applies."""
+    geo = dict(n_rows=24, dom_length=60e3, h_m=2000.0, a=6e3,
+               t_end=9.0, n_frames=6, dtype="float64")
+    out_flow = lw.run(lw.isothermal_flow_config(**geo))
+    out_static = lw.run(lw.isothermal_static_config(**geo))
+    drag_f, drag_s = out_flow["drag"], out_static["drag"]
+    assert np.isfinite(drag_f).all() and np.isfinite(drag_s).all()
+    assert (drag_f > 0).all()
+    assert drag_f[-1] > 1e7  # measured ~1.5e8 at this resolution
+    # static: x-cancellation noise ≪ the hydrostatic lift scale
+    assert abs(drag_s[-1]) < 1e-6 * abs(out_static["lift"][-1])
+    assert abs(drag_s[-1]) < 1e-6 * drag_f[-1]
+
+
 def test_adiabatic_mass_expansion():
     cfg = am.Config(dr=0.04, t_end=0.4, n_frames=8)
     out = am.run(cfg)
