@@ -170,7 +170,7 @@ from functools import partial
 import jax, jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 from sph_mountain_waves_tpu.models import legacy_witch as lw
-cfg = lw.terrain_baseline_config()
+cfg = lw.terrain_baseline_config(use_pallas={up}, fast_math={up})
 sys_ = lw.make_system(cfg)
 sys_.freeze_opts["capacity"] = int(sys_.n_built * 1.3)
 sys_.freeze_opts["rescatter_mode"] = "sort"  # spawn pool teleports rows
@@ -187,7 +187,7 @@ def run(s):
 t0 = time.perf_counter()
 state = run(state)
 float(jnp.sum(state.fields["x"][:, 1]))
-print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
+print(f"compile+first: {{time.perf_counter()-t0:.1f}}s", flush=True)
 best = 1e9
 for _ in range(3):
     t0 = time.perf_counter()
@@ -195,8 +195,9 @@ for _ in range(3):
     float(jnp.sum(state.fields["x"][:, 1]))
     best = min(best, (time.perf_counter() - t0) / 50)
 F = lw.mountain_force(state)
-print(f"RESULT terrain n={n} ms_step={best*1000:.3f} ps={n/best:.4g} "
-      f"drag={float(F['drag']):.4g}")
+print(f"RESULT terrain pallas={{cfg.use_pallas}} n={{n}} "
+      f"ms_step={{best*1000:.3f}} ps={{n/best:.4g}} "
+      f"drag={{float(F['drag']):.4g}}")
 '''
 
 
@@ -228,7 +229,9 @@ def main():
     run_job("isph_200k", CHILD_ISPH, 2400)
     run_job("rb_51k", CHILD_RB, 1800)
     run_job("dam_10k", CHILD_DAM, 1800)
-    run_job("terrain_213k", CHILD_TERRAIN, 2400)
+    if not run_job("terrain_213k_pallas", CHILD_TERRAIN.format(up="True"),
+                   2400):
+        run_job("terrain_213k_xla", CHILD_TERRAIN.format(up="False"), 2400)
     with open(LOG, "a") as f:
         f.write(f"BATCH DONE ok2={ok2} ok3={ok3}\n")
 

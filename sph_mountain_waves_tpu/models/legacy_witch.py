@@ -76,6 +76,10 @@ class LegacyConfig:
     # exact checkpoint/resume, same contract as WitchConfig (SURVEY §5)
     checkpoint_every: int = 0
     resume: str = ""
+    # Pallas fast path for the isothermal-flow (terrain) pair sweeps —
+    # requires bucket layout; honored like WitchConfig.use_pallas/fast_math
+    use_pallas: bool = False
+    fast_math: bool = False
     # isothermal files use cp = 7·R_gas/2 (isothermal_static_witch.jl:43 —
     # the universal constant, unlike current/ which uses R_mass);
     # adiabatic files use cp = 7·R_mass/2 (adiabatic_static_witch.jl:50)
@@ -316,6 +320,14 @@ def make_step(cfg: LegacyConfig, engine):
         active = state.active.at[tgt_safe].set(ok, mode="drop")
         return ParticleState(fields=fields, active=active)
 
+    # Pallas fast path covers the fixed-h0 isothermal-flow sweeps (the
+    # terrain baseline config); static/adiabatic variants keep the XLA path
+    # (per-particle h / entropy production — no dedicated kernels yet)
+    use_pallas = (cfg.use_pallas and cfg.flow and not cfg.adiabatic
+                  and getattr(engine, "layout", "flat") == "bucket")
+    if use_pallas:
+        from ..ops.pallas_pairs import legacy_force_pass, legacy_mass_pass
+
     def step(state: ParticleState) -> ParticleState:
         state = apply_unary(state, accelerate)
         state = apply_unary(state, move)
@@ -332,13 +344,25 @@ def make_step(cfg: LegacyConfig, engine):
             state = apply_binary(engine, state, nbrs, adia_entropy_production)
         else:
             # isothermal verlet (isothermal_static_witch.jl:213-224)
-            state = apply_binary(engine, state, nbrs, iso_balance_of_mass)
+            if use_pallas:
+                drho = legacy_mass_pass(engine, state, cfg)
+                Drho = state.fields["Drho"] + drho
+                state = state.replace(
+                    Drho=jnp.where(state.active, Drho, 0.0))
+            else:
+                state = apply_binary(engine, state, nbrs, iso_balance_of_mass)
             if not cfg.flow:
                 state = apply_unary(state, iso_balance_of_smoothing)
             state = apply_unary(state, iso_find_pressure)
             if cfg.flow:
                 state = apply_unary(state, find_pot_temp)
-        state = apply_binary(engine, state, nbrs, internal_force)
+        if use_pallas:
+            dv = legacy_force_pass(engine, state, cfg)
+            Dv = state.fields["Dv"] + jnp.stack(dv, axis=-1)
+            state = state.replace(
+                Dv=jnp.where(state.active[:, None], Dv, 0.0))
+        else:
+            state = apply_binary(engine, state, nbrs, internal_force)
         state = apply_unary(state, accelerate)
         return state
 

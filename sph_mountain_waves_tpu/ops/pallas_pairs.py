@@ -45,7 +45,8 @@ __all__ = [
     "density_pass", "pressure_pass", "momentum_pass",
     "hopkins_momentum_pass", "pavelka_mass_pass",
     "pavelka_momentum_entropy_pass", "dambreak_mass_pass",
-    "dambreak_force_pass", "row_kmax",
+    "dambreak_force_pass", "legacy_mass_pass", "legacy_force_pass",
+    "row_kmax",
 ]
 
 HALO = 128  # DMA slice starts must be 128-lane aligned on TPU
@@ -697,6 +698,72 @@ def dambreak_force_pass(engine, state, cfg, interpret=False):
         return [s * (p_all[1 + a] - q_all[1 + a][None, :])
                 + w * (p_all[1 + d + a] - q_all[1 + d + a][None, :])
                 for a in range(d)]
+
+    return _run_pair_kernel(engine, state, fields, body, d,
+                            self_pair=False, interpret=interpret)
+
+
+# ------------------------------------------------- legacy flow (terrain)
+
+def legacy_mass_pass(engine, state, cfg, interpret=False):
+    """Isothermal-flow continuity Σ q.m·rDw2(h0,r)·(x_pq·v_pq)
+    (balance_of_mass! flow form, src/legacy/isothermal_flow_witch.jl:145-150;
+    models/legacy_witch.py iso_balance_of_mass). Fixed global h0 folds the
+    kernel normalization into one constant; per-particle mass is streamed
+    (m = ρ_bg(y)·dr² varies with altitude)."""
+    f = state.fields
+    d = engine.dim
+    coords = [engine.resident(f["x"][:, a]) for a in range(d)]
+    fields = coords + [engine.resident(a) for a in
+                       [f["v"][:, a] for a in range(d)] + [f["m"]]]
+    kc = _rdw_const(d) / cfg.h0 ** (d + 2)
+    hinv = 1.0 / cfg.h0
+
+    def body(p_all, q_all, r2, maskf):
+        r = jnp.sqrt(r2)
+        t = jnp.maximum(1.0 - r * hinv, 0.0) * maskf
+        ker = kc * t * t * t * q_all[1 + 2 * d][None, :]
+        dx = [p_all[1 + a] - q_all[1 + a][None, :] for a in range(d)]
+        dv = [p_all[1 + d + a] - q_all[1 + d + a][None, :] for a in range(d)]
+        return [ker * sum(dx[a] * dv[a] for a in range(d))]
+
+    (out,) = _run_pair_kernel(engine, state, fields, body, 1,
+                              self_pair=False, interpret=interpret)
+    return out
+
+
+def legacy_force_pass(engine, state, cfg, interpret=False):
+    """Legacy pressure+viscous momentum with fixed h0 (internal_force!,
+    src/legacy/isothermal_flow_witch.jl:152-160): −q.m·rDw2(h0,r)·
+    (Pp/ρp² + Pq/ρq²)·x_pq + 8·q.m·rDw2·μ/(ρpρq)·(v_pq·x_pq)/(r²+0.01h0²)
+    ·x_pq. P/ρ² and 1/ρ are hoisted per particle; the per-pair body
+    carries one divide (fast_math-eligible via _div_fn)."""
+    f = state.fields
+    d = engine.dim
+    rho_f = jnp.maximum(f["rho"], 1e-12)
+    Pterm = f["P"] / rho_f**2
+    rinv = 1.0 / rho_f
+    coords = [engine.resident(f["x"][:, a]) for a in range(d)]
+    fields = coords + [engine.resident(a) for a in
+                       [f["v"][:, a] for a in range(d)]
+                       + [f["m"], Pterm, rinv]]
+    kc = _rdw_const(d) / cfg.h0 ** (d + 2)
+    hinv = 1.0 / cfg.h0
+    eps_h2 = 0.01 * cfg.h0 * cfg.h0
+    mu8 = 8.0 * cfg.mu
+    div = _div_fn(cfg, interpret)
+
+    def body(p_all, q_all, r2, maskf):
+        r = jnp.sqrt(r2)
+        t = jnp.maximum(1.0 - r * hinv, 0.0) * maskf
+        ker = kc * t * t * t * q_all[1 + 2 * d][None, :]
+        dx = [p_all[1 + a] - q_all[1 + a][None, :] for a in range(d)]
+        dv = [p_all[1 + d + a] - q_all[1 + d + a][None, :] for a in range(d)]
+        dot = sum(dx[a] * dv[a] for a in range(d))
+        s = -ker * (p_all[2 + 2 * d] + q_all[2 + 2 * d][None, :])
+        w = (mu8 * ker * p_all[3 + 2 * d] * q_all[3 + 2 * d][None, :]
+             * div(dot, r2 + eps_h2))
+        return [(s + w) * dx[a] for a in range(d)]
 
     return _run_pair_kernel(engine, state, fields, body, d,
                             self_pair=False, interpret=interpret)

@@ -236,6 +236,31 @@ def test_pavelka_step_pallas_matches_xla(interpret_kernels):
         layout="bucket", skin=0.2, use_pallas=up))
 
 
+def test_legacy_flow_step_pallas_matches_xla(interpret_kernels):
+    """Terrain-baseline scheme (isothermal flow): the fused fixed-h0
+    mass/force kernels against the apply_binary path, full steps incl.
+    inflow recycling; mountain drag must agree too."""
+    from sph_mountain_waves_tpu.models import legacy_witch as lw
+    outs = {}
+    for up in (False, True):
+        cfg = lw.isothermal_flow_config(n_rows=16, dom_length=40e3,
+                                        h_m=2000.0, a=6e3, dtype="float32",
+                                        use_pallas=up)
+        sys_ = lw.make_system(cfg)
+        sys_.freeze_opts.update(capacity=int(sys_.n_built * 1.3),
+                                rescatter_mode="sort", layout="bucket",
+                                skin=0.15)
+        state = sys_.freeze()
+        step = jax.jit(lw.make_step(cfg, sys_.engine))
+        for _ in range(8):
+            state = step(state)
+        F = lw.mountain_force(state)
+        outs[up] = [float(v) for v in velocity_diagnostics(state)] + [
+            float(F["drag"]), float(F["lift"])]
+    assert np.all(np.isfinite(outs[True]))
+    np.testing.assert_allclose(outs[True], outs[False], rtol=2e-4)
+
+
 def test_fast_math_wiring_matches_exact(interpret_kernels):
     """cfg.fast_math swaps pair-body divides for pl.reciprocal(approx=True).
     Interpret mode evaluates that as an exact f32 reciprocal, so the only
