@@ -320,13 +320,17 @@ def make_step(cfg: LegacyConfig, engine):
         active = state.active.at[tgt_safe].set(ok, mode="drop")
         return ParticleState(fields=fields, active=active)
 
-    # Pallas fast path covers the fixed-h0 isothermal-flow sweeps (the
-    # terrain baseline config); static/adiabatic variants keep the XLA path
-    # (per-particle h / entropy production — no dedicated kernels yet)
-    use_pallas = (cfg.use_pallas and cfg.flow and not cfg.adiabatic
+    # Pallas fast path covers every fixed-h0 legacy variant: isothermal
+    # flow (the terrain baseline config: fused mass + force sweeps) and
+    # adiabatic static/flow (gated density + fused entropy+force sweep).
+    # The isothermal static scheme keeps the XLA path (per-particle
+    # adaptive h in both its pair closures).
+    use_pallas = (cfg.use_pallas and (cfg.flow or cfg.adiabatic)
                   and getattr(engine, "layout", "flat") == "bucket")
     if use_pallas:
-        from ..ops.pallas_pairs import legacy_force_pass, legacy_mass_pass
+        from ..ops.pallas_pairs import (adia_density_pass,
+                                        adia_entropy_force_pass,
+                                        legacy_force_pass, legacy_mass_pass)
 
     def step(state: ParticleState) -> ParticleState:
         state = apply_unary(state, accelerate)
@@ -335,13 +339,30 @@ def make_step(cfg: LegacyConfig, engine):
             state = add_new_particles(state)
             state = apply_unary(state, set_inflow_speed)
         state, nbrs = engine.rebuild(state)
+        force_done = False
         if cfg.adiabatic:
             # adiabatic verlet (adiabatic_static_witch.jl:200-211)
-            state = apply_binary(engine, state, nbrs, adia_find_density,
-                                 self_interaction=True)
+            if use_pallas:
+                rho_add = adia_density_pass(engine, state, cfg)
+                fl = state.active & (state.fields["type"] == FLUID)
+                state = state.replace(rho=jnp.where(
+                    fl, state.fields["rho"] + rho_add, state.fields["rho"]))
+            else:
+                state = apply_binary(engine, state, nbrs, adia_find_density,
+                                     self_interaction=True)
             state = apply_unary(state, adia_find_s)
             state = apply_unary(state, adia_find_pressure)
-            state = apply_binary(engine, state, nbrs, adia_entropy_production)
+            if use_pallas:
+                dS, *dv = adia_entropy_force_pass(engine, state, cfg)
+                state = state.replace(
+                    S=jnp.where(state.active, state.fields["S"] + dS, 0.0),
+                    Dv=jnp.where(state.active[:, None],
+                                 state.fields["Dv"] + jnp.stack(dv, axis=-1),
+                                 0.0))
+                force_done = True
+            else:
+                state = apply_binary(engine, state, nbrs,
+                                     adia_entropy_production)
         else:
             # isothermal verlet (isothermal_static_witch.jl:213-224)
             if use_pallas:
@@ -356,12 +377,12 @@ def make_step(cfg: LegacyConfig, engine):
             state = apply_unary(state, iso_find_pressure)
             if cfg.flow:
                 state = apply_unary(state, find_pot_temp)
-        if use_pallas:
+        if use_pallas and not force_done:
             dv = legacy_force_pass(engine, state, cfg)
             Dv = state.fields["Dv"] + jnp.stack(dv, axis=-1)
             state = state.replace(
                 Dv=jnp.where(state.active[:, None], Dv, 0.0))
-        else:
+        elif not force_done:
             state = apply_binary(engine, state, nbrs, internal_force)
         state = apply_unary(state, accelerate)
         return state

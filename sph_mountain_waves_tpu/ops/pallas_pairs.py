@@ -769,6 +769,64 @@ def legacy_force_pass(engine, state, cfg, interpret=False):
                             self_pair=False, interpret=interpret)
 
 
+def adia_density_pass(engine, state, cfg, interpret=False):
+    """Both-FLUID-gated kernel summation Σ q.m·w(h, r) incl. the self term
+    (find_density!, src/legacy/adiabatic_static_witch.jl:130-136). The
+    q-side gate rides the streamed weight (m·[type==FLUID]); the caller
+    applies the p-side gate (walls keep their density)."""
+    from types import SimpleNamespace
+    f = state.fields
+    weight = f["m"] * (f["type"] == 0.0)  # legacy FLUID = 0.0
+    return weighted_w_pass(engine, state, SimpleNamespace(self_density=True),
+                           weight, ker_h="p", interpret=interpret)
+
+
+def adia_entropy_force_pass(engine, state, cfg, interpret=False):
+    """Fused entropy-production + pressure/viscous sweep for the adiabatic
+    legacy schemes (entropy_production! + internal_force!,
+    src/legacy/adiabatic_static_witch.jl:138-147,157-164). Both closures
+    share the fixed-h0 rDwendland2 weight, the velocity·separation dot
+    product, the hoisted 1/ρ, and the 1/(r²+0.01h0²) divide, so one sweep
+    produces (ΔS, Dv_x, Dv_y): ΔS = −4·μ·dt·(m_p/T_p)·(q.m·rDw)·
+    (v_pq·x_pq)²/(ρ_p ρ_q (r²+0.01h0²)) on FLUID–FLUID pairs; the force is
+    the same form as legacy_force_pass (ungated, as the reference's)."""
+    f = state.fields
+    d = engine.dim
+    rho_f = jnp.maximum(f["rho"], 1e-12)
+    Pterm = f["P"] / rho_f**2
+    rinv = 1.0 / rho_f
+    fluid = (f["type"] == 0.0).astype(f["m"].dtype)
+    mTi = f["m"] / jnp.maximum(f["T"], 1e-30)
+    coords = [engine.resident(f["x"][:, a]) for a in range(d)]
+    fields = coords + [engine.resident(a) for a in
+                       [f["v"][:, a] for a in range(d)]
+                       + [f["m"], Pterm, rinv, fluid, mTi]]
+    kc = _rdw_const(d) / cfg.h0 ** (d + 2)
+    hinv = 1.0 / cfg.h0
+    eps_h2 = 0.01 * cfg.h0 * cfg.h0
+    mu8 = 8.0 * cfg.mu
+    mu4dt = 4.0 * cfg.mu * cfg.dt
+    div = _div_fn(cfg, interpret)
+
+    def body(p_all, q_all, r2, maskf):
+        r = jnp.sqrt(r2)
+        t = jnp.maximum(1.0 - r * hinv, 0.0) * maskf
+        kerq = kc * t * t * t * q_all[1 + 2 * d][None, :]
+        dx = [p_all[1 + a] - q_all[1 + a][None, :] for a in range(d)]
+        dv = [p_all[1 + d + a] - q_all[1 + d + a][None, :] for a in range(d)]
+        dot = sum(dx[a] * dv[a] for a in range(d))
+        rr = p_all[3 + 2 * d] * q_all[3 + 2 * d][None, :]  # 1/(ρp·ρq)
+        di = div(dot, r2 + eps_h2)
+        s = -kerq * (p_all[2 + 2 * d] + q_all[2 + 2 * d][None, :])
+        w = mu8 * kerq * rr * di
+        both = p_all[4 + 2 * d] * q_all[4 + 2 * d][None, :]
+        dS = -mu4dt * p_all[5 + 2 * d] * kerq * rr * dot * di * both
+        return [dS] + [(s + w) * dx[a] for a in range(d)]
+
+    return _run_pair_kernel(engine, state, fields, body, 1 + d,
+                            self_pair=False, interpret=interpret)
+
+
 # ------------------------------------------------------------------ ISPH
 
 def _rd_spline23(hinv, r, maskf):

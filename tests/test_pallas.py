@@ -261,6 +261,34 @@ def test_legacy_flow_step_pallas_matches_xla(interpret_kernels):
     np.testing.assert_allclose(outs[True], outs[False], rtol=2e-4)
 
 
+@pytest.mark.parametrize("flow", [False, True], ids=["static", "flow"])
+def test_adiabatic_step_pallas_matches_xla(interpret_kernels, flow):
+    """Adiabatic legacy schemes: gated density + fused entropy+force
+    kernels against the apply_binary path; entropy production must agree
+    (it rides the fused sweep's both-FLUID gate)."""
+    from sph_mountain_waves_tpu.models import legacy_witch as lw
+    factory = lw.adiabatic_flow_config if flow else lw.adiabatic_static_config
+    outs = {}
+    for up in (False, True):
+        cfg = factory(n_rows=14, dom_length=40e3, h_m=2000.0, a=6e3,
+                      dtype="float32", use_pallas=up)
+        sys_ = lw.make_system(cfg)
+        sys_.freeze_opts.update(layout="bucket", skin=0.15)
+        if flow:
+            sys_.freeze_opts.update(capacity=int(sys_.n_built * 1.3),
+                                    rescatter_mode="sort")
+        state = sys_.freeze()
+        step = jax.jit(lw.make_step(cfg, sys_.engine))
+        for _ in range(8):
+            state = step(state)
+        act = np.asarray(state.active)
+        S = np.asarray(state.fields["S"])[act]
+        outs[up] = [float(v) for v in velocity_diagnostics(state)] + [
+            float(S.sum()), float(np.abs(S).max())]
+    assert np.all(np.isfinite(outs[True]))
+    np.testing.assert_allclose(outs[True], outs[False], rtol=2e-4)
+
+
 def test_fast_math_wiring_matches_exact(interpret_kernels):
     """cfg.fast_math swaps pair-body divides for pl.reciprocal(approx=True).
     Interpret mode evaluates that as an exact f32 reciprocal, so the only
