@@ -320,16 +320,18 @@ def make_step(cfg: LegacyConfig, engine):
         active = state.active.at[tgt_safe].set(ok, mode="drop")
         return ParticleState(fields=fields, active=active)
 
-    # Pallas fast path covers every fixed-h0 legacy variant: isothermal
-    # flow (the terrain baseline config: fused mass + force sweeps) and
-    # adiabatic static/flow (gated density + fused entropy+force sweep).
-    # The isothermal static scheme keeps the XLA path (per-particle
-    # adaptive h in both its pair closures).
-    use_pallas = (cfg.use_pallas and (cfg.flow or cfg.adiabatic)
+    # Pallas fast path covers all four legacy variants: isothermal flow
+    # (the terrain baseline config: fused fixed-h0 mass + force sweeps),
+    # adiabatic static/flow (gated density + fused entropy+force sweep),
+    # and isothermal static (adaptive per-particle h streamed through the
+    # mass/force kernels).
+    use_pallas = (cfg.use_pallas
                   and getattr(engine, "layout", "flat") == "bucket")
     if use_pallas:
         from ..ops.pallas_pairs import (adia_density_pass,
                                         adia_entropy_force_pass,
+                                        iso_static_force_pass,
+                                        iso_static_mass_pass,
                                         legacy_force_pass, legacy_mass_pass)
 
     def step(state: ParticleState) -> ParticleState:
@@ -366,7 +368,11 @@ def make_step(cfg: LegacyConfig, engine):
         else:
             # isothermal verlet (isothermal_static_witch.jl:213-224)
             if use_pallas:
-                drho = legacy_mass_pass(engine, state, cfg)
+                if cfg.flow:
+                    drho = legacy_mass_pass(engine, state, cfg)
+                else:  # static: Drho = p.rho · Σ (q.m/q.rho)·rDw(p.h)·dot
+                    drho = (state.fields["rho"]
+                            * iso_static_mass_pass(engine, state, cfg))
                 Drho = state.fields["Drho"] + drho
                 state = state.replace(
                     Drho=jnp.where(state.active, Drho, 0.0))
@@ -378,7 +384,9 @@ def make_step(cfg: LegacyConfig, engine):
             if cfg.flow:
                 state = apply_unary(state, find_pot_temp)
         if use_pallas and not force_done:
-            dv = legacy_force_pass(engine, state, cfg)
+            force_pass = (legacy_force_pass if cfg.flow
+                          else iso_static_force_pass)
+            dv = force_pass(engine, state, cfg)
             Dv = state.fields["Dv"] + jnp.stack(dv, axis=-1)
             state = state.replace(
                 Dv=jnp.where(state.active[:, None], Dv, 0.0))

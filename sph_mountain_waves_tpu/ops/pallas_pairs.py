@@ -769,6 +769,81 @@ def legacy_force_pass(engine, state, cfg, interpret=False):
                             self_pair=False, interpret=interpret)
 
 
+def iso_static_mass_pass(engine, state, cfg, interpret=False):
+    """Adaptive-h isothermal continuity Σ (q.m/q.rho)·rDw2(p.h,r)·
+    (x_pq·v_pq) (balance_of_mass! static form,
+    src/legacy/isothermal_static_witch.jl:118-125). The gather kernel uses
+    p's per-particle smoothing length, so 1/h streams as a p-side field and
+    the kernel value is divide-free; the caller multiplies the returned sum
+    by p.rho (a per-slot product, cheaper than per-pair)."""
+    f = state.fields
+    d = engine.dim
+    hinvB = engine.resident(1.0 / jnp.maximum(f["h"], _hfloor(engine)))
+    wq = f["m"] / jnp.maximum(f["rho"], 1e-12)
+    coords = [engine.resident(f["x"][:, a]) for a in range(d)]
+    fields = coords + [hinvB] + [engine.resident(a) for a in
+                                 [f["v"][:, a] for a in range(d)] + [wq]]
+    DW = _rdw_const(d)
+
+    def body(p_all, q_all, r2, maskf):
+        hinv = p_all[1 + d]
+        r = jnp.sqrt(r2)
+        t = jnp.maximum(1.0 - r * hinv, 0.0) * maskf
+        h2 = hinv * hinv
+        ker = DW * t * t * t * (h2 * h2 if d == 2 else h2 * h2 * hinv)
+        ker = ker * q_all[2 + 2 * d][None, :]
+        dx = [p_all[1 + a] - q_all[1 + a][None, :] for a in range(d)]
+        dv = [p_all[2 + d + a] - q_all[2 + d + a][None, :] for a in range(d)]
+        return [ker * sum(dx[a] * dv[a] for a in range(d))]
+
+    (out,) = _run_pair_kernel(engine, state, fields, body, 1,
+                              self_pair=False, interpret=interpret)
+    return out
+
+
+def iso_static_force_pass(engine, state, cfg, interpret=False):
+    """Adaptive-h legacy momentum (internal_force! static form,
+    src/legacy/isothermal_static_witch.jl:150-160): −q.m·rDw2(p.h,r)·
+    (Pp/ρp² + Pq/ρq²)·x_pq + 8·q.m·rDw2·μ/(ρpρq)·(v_pq·x_pq)
+    /(r² + 0.0025·(p.h+q.h)²)·x_pq. h streams raw (the viscous denominator
+    needs hp+hq); the kernel's 1/h and the viscous divide both ride
+    _div_fn (fast_math-eligible)."""
+    f = state.fields
+    d = engine.dim
+    rho_f = jnp.maximum(f["rho"], 1e-12)
+    Pterm = f["P"] / rho_f**2
+    rinv = 1.0 / rho_f
+    coords, hB = _resident_xhm(engine, state, _hfloor(engine))
+    fields = coords + [hB] + [engine.resident(a) for a in
+                              [f["v"][:, a] for a in range(d)]
+                              + [f["m"], Pterm, rinv]]
+    DW = _rdw_const(d)
+    mu8 = 8.0 * cfg.mu
+    div = _div_fn(cfg, interpret)
+
+    def body(p_all, q_all, r2, maskf):
+        hp = p_all[1 + d]
+        r = jnp.sqrt(r2)
+        hinv = div(1.0, hp)
+        t = jnp.maximum(1.0 - r * hinv, 0.0) * maskf
+        h2 = hinv * hinv
+        ker = DW * t * t * t * (h2 * h2 if d == 2 else h2 * h2 * hinv)
+        ker = ker * q_all[2 + 2 * d][None, :]
+        dx = [p_all[1 + a] - q_all[1 + a][None, :] for a in range(d)]
+        dv = [p_all[2 + d + a] - q_all[2 + d + a][None, :] for a in range(d)]
+        dot = sum(dx[a] * dv[a] for a in range(d))
+        h_pq = hp + q_all[1 + d][None, :]
+        s = -ker * (p_all[3 + 2 * d] + q_all[3 + 2 * d][None, :])
+        w = (mu8 * ker * p_all[4 + 2 * d] * q_all[4 + 2 * d][None, :]
+             * div(dot, r2 + 0.0025 * h_pq * h_pq))
+        return [(s + w) * dx[a] for a in range(d)]
+
+    pad_vals = [0.0] * d + [_hfloor(engine)] + [0.0] * (3 + d)
+    return _run_pair_kernel(engine, state, fields, body, d,
+                            self_pair=False, interpret=interpret,
+                            pad_vals=pad_vals)
+
+
 def adia_density_pass(engine, state, cfg, interpret=False):
     """Both-FLUID-gated kernel summation Σ q.m·w(h, r) incl. the self term
     (find_density!, src/legacy/adiabatic_static_witch.jl:130-136). The

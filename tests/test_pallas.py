@@ -261,6 +261,32 @@ def test_legacy_flow_step_pallas_matches_xla(interpret_kernels):
     np.testing.assert_allclose(outs[True], outs[False], rtol=2e-4)
 
 
+def test_iso_static_step_pallas_matches_xla(interpret_kernels):
+    """Isothermal static scheme: the adaptive per-particle-h mass/force
+    kernels against the apply_binary path; the evolving smoothing length
+    (balance_of_smoothing integrates Dh from the Pallas Drho) must agree."""
+    from sph_mountain_waves_tpu.models import legacy_witch as lw
+    outs = {}
+    for up in (False, True):
+        cfg = lw.isothermal_static_config(n_rows=14, dom_length=40e3,
+                                          h_m=2000.0, a=6e3, dtype="float32",
+                                          use_pallas=up)
+        sys_ = lw.make_system(cfg)
+        sys_.freeze_opts.update(layout="bucket", skin=0.15)
+        state = sys_.freeze()
+        step = jax.jit(lw.make_step(cfg, sys_.engine))
+        for _ in range(8):
+            state = step(state)
+        act = np.asarray(state.active)
+        h = np.asarray(state.fields["h"])[act]
+        rho = np.asarray(state.fields["rho"])[act]
+        outs[up] = [float(v) for v in velocity_diagnostics(state)] + [
+            float(h.mean()), float(np.abs(h - cfg.h0).max()),
+            float(rho.mean())]
+    assert np.all(np.isfinite(outs[True]))
+    np.testing.assert_allclose(outs[True], outs[False], rtol=2e-4)
+
+
 @pytest.mark.parametrize("flow", [False, True], ids=["static", "flow"])
 def test_adiabatic_step_pallas_matches_xla(interpret_kernels, flow):
     """Adiabatic legacy schemes: gated density + fused entropy+force
