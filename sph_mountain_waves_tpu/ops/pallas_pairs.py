@@ -61,11 +61,24 @@ ROWS_PER_PROGRAM = None
 
 _VMEM_SCRATCH_BUDGET = 12 * 2**20  # bytes; old windowed design ran at ~12 MB
 
+# Mosaic's scoped-VMEM (stack) budget for kernel temporaries is 16 MB and the
+# register-accumulated pair body keeps ~40 live [cap, rp·nx] f32 vectors per
+# chain: stack grows ∝ rp·nx.  Measured on TPU v5e: rp=4 at the 2-D 1M bench
+# grid (nx≈2048 → 8192 lanes/program) dies at compile with
+# "Ran out of memory in memory space vmem while allocating on stack"
+# (17.08 MB vs the 16 MB limit), while the 3-D stretch grid (nx=384 →
+# ≤1536 lanes at rp=4) fits.  Cap the auto-picked program width at 2048
+# lanes: wide 2-D grids stay at the measured-optimal rp=1, narrow 3-D grids
+# keep the stacking win.  An explicit ROWS_PER_PROGRAM override bypasses
+# the cap (for experiments).
+_MAX_PROGRAM_LANES = 2048
+
 
 def _rows_per_program(engine, n_in, n_out, cap_pad):
     """Largest rp ∈ {4, 2, 1} that divides the y-row count (programs must
     not straddle z-planes: rp | ny keeps jz constant per program; in 2-D
-    R = ny) and fits the double-buffered span scratch in VMEM."""
+    R = ny), fits the double-buffered span scratch in VMEM, and keeps the
+    program's vector width under Mosaic's kernel-stack budget."""
     if ROWS_PER_PROGRAM is not None:
         rp = int(ROWS_PER_PROGRAM)
         candidates = [rp]
@@ -75,6 +88,8 @@ def _rows_per_program(engine, n_in, n_out, cap_pad):
     nw = len(_plane_offsets(engine.dim))
     for rp in candidates:
         if ny % rp != 0:
+            continue
+        if ROWS_PER_PROGRAM is None and rp * nx > _MAX_PROGRAM_LANES:
             continue
         W = (rp + 2) * nx + 2 * HALO
         scratch = (nw * n_in * 2 * cap_pad * W
