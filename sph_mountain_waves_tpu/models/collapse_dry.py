@@ -237,7 +237,8 @@ def run(cfg: Config = Config(), out_path: str | None = None, verbose: bool = Fal
                   f"E = {float(E):.6e}")
         if out:
             save_frame(out, state, "v", "P", "type", time=t)
-        maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame)
+        maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame,
+                         last=k >= n_steps)
     if out:
         save_pvd_file(out)
         # the reference persists the observables as data.csv next to the

@@ -35,12 +35,15 @@ def maybe_resume(cfg, state):
     return state, int(meta["extra"].get("step", 0))
 
 
-def maybe_checkpoint(cfg, out, state, engine, k, t, frame) -> None:
+def maybe_checkpoint(cfg, out, state, engine, k, t, frame, *,
+                     last: bool = False) -> None:
     """Overwrite ``<out.path>/checkpoint.npz`` (atomically) every
-    ``cfg.checkpoint_every`` frames. No-op without an output directory or
-    with the feature off."""
+    ``cfg.checkpoint_every`` frames, and always on the run's final frame
+    (``last=True``) so short runs — fewer frames than the cadence — still
+    leave a resume point. No-op without an output directory or with the
+    feature off."""
     every = getattr(cfg, "checkpoint_every", 0)
-    if not (every and out and frame % every == 0):
+    if not (every and out and (last or frame % every == 0)):
         return
     import os
 

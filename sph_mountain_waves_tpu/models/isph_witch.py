@@ -273,7 +273,8 @@ def _run(cfg, out_path, verbose):
                   f"u_avg = {float(u_avg):.4e}  u_max = {float(u_max):.4e}")
         if out:
             save_frame(out, state, *EXPORT_VARS, time=t)
-        maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame)
+        maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame,
+                         last=k >= n_steps)
     if out:
         save_pvd_file(out)
         from ..io import save_csv

@@ -261,7 +261,8 @@ def run(cfg: Config = Config(), out_path: str | None = None,
                   f"n = {int(state.n)}")
         if out:
             save_frame(out, state, "v", "P", "T", "type", time=t)
-        maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame)
+        maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame,
+                         last=k >= n_steps)
     if out:
         save_pvd_file(out)
         from ..io import save_csv

@@ -239,7 +239,8 @@ def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
                   + tail)
         if out:
             save_frame(out, state, *export_vars, time=t)
-        maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame)
+        maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame,
+                         last=k >= n_steps)
     if out:
         save_pvd_file(out)
         # reference data.csv / unicodeplots channel

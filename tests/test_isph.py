@@ -85,7 +85,12 @@ def test_isph_witch_checkpoint_resume(tmp_path):
     resumed diagnostics match the uninterrupted run bitwise."""
     from sph_mountain_waves_tpu.models import isph_witch as iw
 
-    base = dict(n_rows=12, dtype="float64", t_end=8.0, n_frames=4)
+    # v_char=260 -> dt_isph=1.5 s, so t_end=8 is 5 steps / 4+ frames and
+    # t_end=4 is 3 steps — the checkpointed run leaves real steps for the
+    # resume to replay (at the default v_char=50, dt=7.8 s makes every run
+    # a single step and resume a no-op)
+    base = dict(n_rows=12, dtype="float64", t_end=8.0, n_frames=4,
+                v_char=260.0)
     full = iw.run(iw.ISPHWitchConfig(**base))
 
     p1 = tmp_path / "p1"
