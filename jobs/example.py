@@ -12,6 +12,20 @@ SCHEMES = {
     "isph": "isph_witch",
     "rayleigh_benard": "rayleigh_benard",
     "witch3d": "witch3d",
+    # legacy family (src/legacy/*.jl), incl. BASELINE config #3's terrain
+    "isothermal_static": "legacy_witch",
+    "isothermal_flow": "legacy_witch",
+    "adiabatic_static": "legacy_witch",
+    "adiabatic_flow": "legacy_witch",
+    "terrain": "legacy_witch",
+}
+
+LEGACY_FACTORIES = {
+    "isothermal_static": "isothermal_static_config",
+    "isothermal_flow": "isothermal_flow_config",
+    "adiabatic_static": "adiabatic_static_config",
+    "adiabatic_flow": "adiabatic_flow_config",
+    "terrain": "terrain_baseline_config",
 }
 
 if __name__ == "__main__":
@@ -38,6 +52,14 @@ if __name__ == "__main__":
     elif args.scheme == "witch3d":
         from sph_mountain_waves_tpu.models.witch3d import stretch_config
         cfg = stretch_config(n_rows=args.rows, t_end=args.t_end)
+    elif args.scheme in LEGACY_FACTORIES:
+        from sph_mountain_waves_tpu.models import legacy_witch as lw
+        factory = getattr(lw, LEGACY_FACTORIES[args.scheme])
+        kw = dict(t_end=args.t_end, dtype="float32", use_pallas=True,
+                  fast_math=True)
+        if args.scheme != "terrain":   # terrain fixes its own resolution
+            kw["n_rows"] = args.rows
+        cfg = factory(**kw)
     else:
         from sph_mountain_waves_tpu.models.witch_common import WitchConfig
         # measured-optimal production layout (BENCHMARKS.md): skin 0.15

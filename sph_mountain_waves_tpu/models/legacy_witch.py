@@ -278,46 +278,66 @@ def make_step(cfg: LegacyConfig, engine):
         return {"v": jnp.where(fl, u.v + 0.5 * dt * acc, u.v)}
 
     def add_new_particles(state: ParticleState) -> ParticleState:
-        """Inflow recycling (isothermal_flow_witch.jl:175-186)."""
+        """Inflow recycling (isothermal_flow_witch.jl:175-186).
+
+        Spawning is an *event*: an inflow column crosses the domain edge
+        every dr/U_max seconds (≈700 steps at the terrain baseline dt), so
+        the whole conversion+respawn — two capacity-size argsorts and ~13
+        per-field scatters — sits under a ``lax.cond`` on "any column
+        converted this step". On the ~699 quiet steps the cond's identity
+        branch passes each field buffer through whole (the documented safe
+        branch structure: per-field whole-buffer outputs, no stacking), so
+        the step pays only the O(n) edge test."""
         f = state.fields
         n = state.capacity
         edge = -cfg.dom_length / 2
         conv = state.active & (f["type"] == INFLOW) & (f["x"][:, 0] >= edge)
-        new_type = jnp.where(conv, FLUID, f["type"])
         k = cfg.max_spawn
-        src = jnp.argsort(jnp.where(conv, jnp.arange(n, dtype=jnp.int32),
-                                    jnp.int32(n)))[:k]
-        src_ok = conv[src]
-        tgt = jnp.argsort(jnp.where(state.active, jnp.int32(n),
-                                    jnp.arange(n, dtype=jnp.int32)))[:k]
-        ok = src_ok & ~state.active[tgt]
-        tgt_safe = jnp.where(ok, tgt, n)
-        x_new = f["x"][src] - jnp.asarray([cfg.bc_width, 0.0], f["x"].dtype)
-        y = x_new[:, 1]
-        rho = cfg.rho0 * jnp.exp(-y * cfg.g / (cfg.R_mass * cfg.T0))
-        fields = dict(f)
-        fields["type"] = new_type.at[tgt_safe].set(INFLOW, mode="drop")
-        fields["x"] = f["x"].at[tgt_safe].set(x_new, mode="drop")
-        fields["v"] = f["v"].at[tgt_safe].set(
-            jnp.stack([jnp.full(k, cfg.U_max, f["v"].dtype),
-                       jnp.zeros(k, f["v"].dtype)], axis=-1), mode="drop")
-        fields["rho"] = f["rho"].at[tgt_safe].set(rho, mode="drop")
-        fields["m"] = f["m"].at[tgt_safe].set(rho * cfg.dr**2, mode="drop")
-        fields["P"] = f["P"].at[tgt_safe].set(
-            rho * cfg.T0 * cfg.R_mass, mode="drop")
-        fields["h"] = f["h"].at[tgt_safe].set(
-            jnp.full(k, cfg.h0, f["h"].dtype), mode="drop")
-        for name in ("Dv", "Dh", "Drho", "S", "s", "gGamma"):
-            fields[name] = f[name].at[tgt_safe].set(
-                jnp.zeros((k,) + f[name].shape[1:], f[name].dtype), mode="drop")
-        fields["T"] = f["T"].at[tgt_safe].set(
-            jnp.full(k, cfg.T0, f["T"].dtype), mode="drop")
-        if cfg.adiabatic:
-            S = (rho * cfg.dr**2) * cfg.cv * jnp.log(
-                (cfg.cv * cfg.T0 * (cfg.gamma - 1))
-                / (cfg.gamma * rho ** (cfg.gamma - 1)))
-            fields["S"] = fields["S"].at[tgt_safe].set(S, mode="drop")
-        active = state.active.at[tgt_safe].set(ok, mode="drop")
+
+        def spawn(f, active):
+            new_type = jnp.where(conv, FLUID, f["type"])
+            src = jnp.argsort(jnp.where(conv, jnp.arange(n, dtype=jnp.int32),
+                                        jnp.int32(n)))[:k]
+            src_ok = conv[src]
+            tgt = jnp.argsort(jnp.where(active, jnp.int32(n),
+                                        jnp.arange(n, dtype=jnp.int32)))[:k]
+            ok = src_ok & ~active[tgt]
+            tgt_safe = jnp.where(ok, tgt, n)
+            x_new = f["x"][src] - jnp.asarray([cfg.bc_width, 0.0],
+                                              f["x"].dtype)
+            y = x_new[:, 1]
+            rho = cfg.rho0 * jnp.exp(-y * cfg.g / (cfg.R_mass * cfg.T0))
+            fields = dict(f)
+            fields["type"] = new_type.at[tgt_safe].set(INFLOW, mode="drop")
+            fields["x"] = f["x"].at[tgt_safe].set(x_new, mode="drop")
+            fields["v"] = f["v"].at[tgt_safe].set(
+                jnp.stack([jnp.full(k, cfg.U_max, f["v"].dtype),
+                           jnp.zeros(k, f["v"].dtype)], axis=-1), mode="drop")
+            fields["rho"] = f["rho"].at[tgt_safe].set(rho, mode="drop")
+            fields["m"] = f["m"].at[tgt_safe].set(rho * cfg.dr**2,
+                                                  mode="drop")
+            fields["P"] = f["P"].at[tgt_safe].set(
+                rho * cfg.T0 * cfg.R_mass, mode="drop")
+            fields["h"] = f["h"].at[tgt_safe].set(
+                jnp.full(k, cfg.h0, f["h"].dtype), mode="drop")
+            for name in ("Dv", "Dh", "Drho", "S", "s", "gGamma"):
+                fields[name] = f[name].at[tgt_safe].set(
+                    jnp.zeros((k,) + f[name].shape[1:], f[name].dtype),
+                    mode="drop")
+            fields["T"] = f["T"].at[tgt_safe].set(
+                jnp.full(k, cfg.T0, f["T"].dtype), mode="drop")
+            if cfg.adiabatic:
+                S = (rho * cfg.dr**2) * cfg.cv * jnp.log(
+                    (cfg.cv * cfg.T0 * (cfg.gamma - 1))
+                    / (cfg.gamma * rho ** (cfg.gamma - 1)))
+                fields["S"] = fields["S"].at[tgt_safe].set(S, mode="drop")
+            return fields, active.at[tgt_safe].set(ok, mode="drop")
+
+        def no_op(f, active):
+            return dict(f), active
+
+        fields, active = jax.lax.cond(jnp.any(conv), spawn, no_op,
+                                      f, state.active)
         return ParticleState(fields=fields, active=active)
 
     # Pallas fast path covers all four legacy variants: isothermal flow
@@ -428,6 +448,12 @@ def run(cfg: LegacyConfig, out_path: str | None = None, verbose: bool = False,
 
     def _make_system(cfg_):
         sys = make_system(cfg_)
+        if cfg_.use_pallas:
+            # the Pallas fast path needs the bucket-resident layout; wire
+            # the production defaults (BENCHMARKS.md: skin 0.15) so
+            # ``use_pallas=True`` on the config is sufficient by itself
+            sys.freeze_opts.setdefault("layout", "bucket")
+            sys.freeze_opts.setdefault("skin", 0.15)
         if cfg_.flow:
             sys.freeze_opts["capacity"] = int(sys.n_built * capacity_factor)
             # spawning writes arbitrary inactive rows -> the 1-cell-local
