@@ -39,7 +39,12 @@ from . import wcsph_perturbed_witch as _wcsph
 
 FIELDS = {"h": 0, "x": 2, "m": 0, "v": 2, "Dv": 2, "P": 0,
           "div": 0, "L": 0, "lam": 0,
-          "rho_bg": 0, "theta_bg": 0, "theta_p": 0, "type": 0}
+          "rho_bg": 0, "theta_bg": 0, "theta_p": 0, "type": 0,
+          # solver observability (broadcast scalars, overwritten each step):
+          # CG iteration count and final relative residual of the last
+          # pressure solve — the reference's CG is run verbose
+          # (collapse_dry_implicit.jl:222-231); exported per frame
+          "cg_it": 0, "cg_res": 0}
 EXPORT_VARS = ("v", "P", "theta_p", "type")
 
 
@@ -185,9 +190,10 @@ def make_step(cfg: ISPHWitchConfig, engine):
                 return jnp.where(owned, out, 0.0)
 
             b = jnp.where(owned, -h**2 * f["div"] / dt, 0.0)
-            P = pcg(matvec, b, x0=jnp.where(owned, f["P"], 0.0),
-                    M=lambda v: v / diag_safe, tol=cfg.cg_tol,
-                    maxiter=cfg.cg_maxiter, axis=engine.axis)
+            P, cg_it, cg_res = pcg(
+                matvec, b, x0=jnp.where(owned, f["P"], 0.0),
+                M=lambda v: v / diag_safe, tol=cfg.cg_tol,
+                maxiter=cfg.cg_maxiter, axis=engine.axis, return_info=True)
             # the pressure-gradient sweep below reads ghost P
             P = refresh(jnp.where(owned, P, 0.0))
         else:
@@ -201,10 +207,14 @@ def make_step(cfg: ISPHWitchConfig, engine):
             # noise-amplified junk pressure instead of the exact solution
             # P=0. Any physical RHS is astronomically above this floor, so
             # tol governs real solves.
-            P, _ = jax.scipy.sparse.linalg.cg(
+            P, cg_it, cg_res = pcg(
                 matvec, b, x0=f["P"], M=lambda v: v / diag_safe,
-                tol=cfg.cg_tol, atol=1e-18, maxiter=cfg.cg_maxiter)
-        state = state.replace(P=jnp.where(state.active, P, 0.0))
+                tol=cfg.cg_tol, atol=1e-18, maxiter=cfg.cg_maxiter,
+                return_info=True)
+        state = state.replace(
+            P=jnp.where(state.active, P, 0.0),
+            cg_it=jnp.full_like(f["cg_it"], cg_it),
+            cg_res=jnp.full_like(f["cg_res"], cg_res))
 
         if use_pallas:
             s0, s1 = isph_grad_pass(engine, state, cfg)
@@ -260,6 +270,7 @@ def _run(cfg, out_path, verbose):
     if out and not k0:
         save_frame(out, state, *EXPORT_VARS, time=0.0)
     ts, u_avgs, u_maxs = [], [], []
+    cg_its, cg_ress = [], []
     k, frame = k0, 0
     while k < n_steps:
         state = run_frame(state)
@@ -267,10 +278,15 @@ def _run(cfg, out_path, verbose):
         frame += 1
         t = k * cfg.dt_isph
         u_avg, u_max = diag(state)
+        # last step's pressure-solve stats (broadcast scalars in the state)
+        cg_it = float(state.fields["cg_it"][0])
+        cg_res = float(state.fields["cg_res"][0])
         ts.append(t); u_avgs.append(float(u_avg)); u_maxs.append(float(u_max))
+        cg_its.append(cg_it); cg_ress.append(cg_res)
         if verbose:
             print(f"t = {t:.3f}  n = {int(state.n)}  "
-                  f"u_avg = {float(u_avg):.4e}  u_max = {float(u_max):.4e}")
+                  f"u_avg = {float(u_avg):.4e}  u_max = {float(u_max):.4e}  "
+                  f"cg_it = {cg_it:.0f}  cg_res = {cg_res:.2e}")
         if out:
             save_frame(out, state, *EXPORT_VARS, time=t)
         maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame,
@@ -280,10 +296,12 @@ def _run(cfg, out_path, verbose):
         from ..io import save_csv
         import os as _os
         save_csv(_os.path.join(out.path, "data.csv"),
-                 {"t": ts, "u_avg": u_avgs, "u_max": u_maxs},
+                 {"t": ts, "u_avg": u_avgs, "u_max": u_maxs,
+                  "cg_it": cg_its, "cg_res": cg_ress},
                  merge_history=k0 > 0)
         from ..utils.plots import plot_velocities
         plot_velocities(out.path, ts, u_avgs, u_maxs)
     sys.state = state
     return {"t": np.asarray(ts), "u_avg": np.asarray(u_avgs),
-            "u_max": np.asarray(u_maxs), "state": state, "system": sys}
+            "u_max": np.asarray(u_maxs), "cg_it": np.asarray(cg_its),
+            "cg_res": np.asarray(cg_ress), "state": state, "system": sys}

@@ -92,7 +92,8 @@ def cg_solve(matvec, b, x0=None, M=None, tol: float = 1e-6, maxiter: int = 500):
 
 
 def pcg(matvec, b, x0=None, M=None, tol: float = 1e-6, atol: float = 1e-18,
-        maxiter: int = 500, axis: str | None = None):
+        maxiter: int = 500, axis: str | None = None,
+        return_info: bool = False):
     """Preconditioned CG as an explicit ``lax.while_loop`` with optional
     cross-device reductions: with ``axis`` set, every dot product psums
     over that mesh axis, so the solve is correct INSIDE ``shard_map`` where
@@ -103,7 +104,13 @@ def pcg(matvec, b, x0=None, M=None, tol: float = 1e-6, atol: float = 1e-18,
     reads (e.g. ``BucketShardEngine.refresh_ghost_vector``).
 
     Same algorithm and stopping rule as ``cg_solve`` (||r||₂ ≤
-    max(tol·||b||₂, atol), the atol floor guarding the zero-RHS case)."""
+    max(tol·||b||₂, atol), the atol floor guarding the zero-RHS case).
+
+    With ``return_info=True`` returns ``(x, iters, rel_res)`` — the
+    iteration count and final relative residual ||r||/||b|| (solver
+    observability: the reference's IterativeSolvers CG is ``verbose``,
+    sph_jl/examples/collapse_dry_implicit.jl:222-231). Both are traced
+    scalars, cheap to carry through a scanned step."""
     x0 = jnp.zeros_like(b) if x0 is None else x0
     Mfn = M if M is not None else (lambda v: v)
     red = (lambda s: jax.lax.psum(s, axis)) if axis else (lambda s: s)
@@ -114,7 +121,8 @@ def pcg(matvec, b, x0=None, M=None, tol: float = 1e-6, atol: float = 1e-18,
     r0 = b - matvec(x0)
     z0 = Mfn(r0)
     gamma0 = dot(r0, z0)
-    thresh = jnp.maximum(tol * tol * dot(b, b), atol * atol)
+    bb = dot(b, b)
+    thresh = jnp.maximum(tol * tol * bb, atol * atol)
 
     def cond(carry):
         _, r, _, _, k = carry
@@ -131,8 +139,12 @@ def pcg(matvec, b, x0=None, M=None, tol: float = 1e-6, atol: float = 1e-18,
         p = z + (gamma2 / gamma) * p
         return (x, r, p, gamma2, k + 1)
 
-    x, *_ = jax.lax.while_loop(cond, body, (x0, r0, z0, gamma0, 0))
-    return x
+    x, r, _, _, k = jax.lax.while_loop(cond, body, (x0, r0, z0, gamma0, 0))
+    if not return_info:
+        return x
+    rel = jnp.sqrt(dot(r, r) / jnp.maximum(bb, 1e-300 if bb.dtype ==
+                                           jnp.float64 else 1e-30))
+    return x, k, rel
 
 
 def assemble_matrix(engine: NeighborEngine, state: ParticleState, nbrs: Neighbors,
