@@ -1,0 +1,75 @@
+"""Linear-regime mountain-wave drag vs hydrostatic theory (TPU experiment).
+
+BASELINE's north-star observable is wave drag. The blocked-flow reference
+terrain (h_m = 13 km) has no closed form, but the LINEAR hydrostatic regime
+does: for a witch-of-Agnesi ridge in uniform flow (U, N),
+
+    D_lin = (pi/4) * rho_s * N * U * h_m**2     [N per meter of ridge]
+
+valid for N*h_m/U << 1 (linear) and N*a/U >> 1 (hydrostatic).
+
+Scheme choice: the isothermal legacy scheme is BAROTROPIC — P = rho*R*T0
+with the matching exp(-g z/(R T0)) background is neutrally stratified
+(N^2 = -g dln(rho)/dz - g^2/c^2 = 0 exactly), so linear theory predicts
+zero drag for it and it cannot carry this gate. The ADIABATIC flow scheme
+(src/legacy/adiabatic_flow_witch.jl) on the same isothermal background has
+true buoyancy frequency N^2 = g^2/(cp*T0) (= g/theta*dtheta/dz with
+T = T0): N ~= 0.01957 rad/s with cp = 7*R_mass/2 — that is the scheme
+gated here.
+
+Scaled geometry (real constants, U = 20 m/s):
+  U/N ~= 1022 m;  a = 5 km   -> N*a/U ~= 4.9 (hydrostatic to ~5%)
+  h_m = 300 m                -> N*h_m/U ~= 0.29 (weakly nonlinear, O(10%))
+  lambda_z = 2*pi*U/N ~= 6.4 km; dom_height 20 km = wave region ~1.9
+  lambda_z + sponge above 12 km; dr = 100 m resolves h_m with 3 rows.
+Drag time scale: vertical group speed c_gz ~= U^2/(N*a) ~= 4 m/s fills the
+wave region in ~2500 s ~= 10 advective times a/U.
+
+Run on TPU (one job at a time!):  python scripts/linear_drag.py
+Appends one result line to /tmp/linear_drag.log.
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
+        h_m=300.0, a=5e3, avg_window=0.2):
+    from sph_mountain_waves_tpu.models import legacy_witch as lw
+
+    cfg = lw.adiabatic_flow_config(
+        n_rows=n_rows, dom_height=20e3, dom_length=60e3, z_b=8e3,
+        h_m=h_m, a=a, t_end=t_end, n_frames=100, dtype="float32",
+        use_pallas=use_pallas, fast_math=use_pallas)
+    N_bv = cfg.g / float(np.sqrt(cfg.cp * cfg.T0))     # adiabatic scheme N
+    D_lin = (np.pi / 4) * cfg.rho0 * N_bv * cfg.U_max * cfg.h_m**2
+    print(f"dr={cfg.dr:.0f}  dt={cfg.dt:.4e}  steps={cfg.t_end/cfg.dt:.0f}  "
+          f"N={N_bv:.5f}  eps={N_bv*cfg.h_m/cfg.U_max:.3f}  "
+          f"Na/U={N_bv*cfg.a/cfg.U_max:.2f}  D_lin={D_lin:.4g}", flush=True)
+
+    t0 = time.time()
+    res = lw.run(cfg, verbose=verbose)
+    wall = time.time() - t0
+
+    drag = np.asarray(res["drag"])
+    k0 = int(len(drag) * (1 - avg_window))
+    D = float(np.mean(drag[k0:]))
+    ratio = D / D_lin
+    line = (f"RESULT linear_drag n={int(res['state'].n)} n_rows={n_rows} "
+            f"h_m={h_m} a={a} t_end={t_end} D={D:.4g} D_lin={D_lin:.4g} "
+            f"ratio={ratio:.3f} wall={wall:.0f}s")
+    print(line, flush=True)
+    with open("/tmp/linear_drag.log", "a") as f:
+        f.write(line + "\n")
+    return res, D, D_lin
+
+
+if __name__ == "__main__":
+    kw = {}
+    for arg in sys.argv[1:]:
+        k, v = arg.split("=")
+        kw[k] = float(v) if "." in v or "e" in v else int(v)
+    run(**kw)

@@ -80,6 +80,13 @@ class LegacyConfig:
     # requires bucket layout; honored like WitchConfig.use_pallas/fast_math
     use_pallas: bool = False
     fast_math: bool = False
+    # engine layout (bucket = production TPU layout; required for Pallas
+    # and for the sharded runner) — consumed by make_system's freeze_opts
+    layout: str = "flat"
+    skin: float = 0.15
+    # the legacy schemes export their diagnostics eagerly (the shared
+    # sharded runner keys finalize on this flag, WitchConfig parity)
+    lazy_diagnostics: bool = False
     # isothermal files use cp = 7·R_gas/2 (isothermal_static_witch.jl:43 —
     # the universal constant, unlike current/ which uses R_mass);
     # adiabatic files use cp = 7·R_mass/2 (adiabatic_static_witch.jl:50)
@@ -187,6 +194,17 @@ def make_system(cfg: LegacyConfig) -> ParticleSystem:
         if cfg.flow:
             mob = (chunk["type"] == FLUID) | (chunk["type"] == INFLOW)
             chunk["v"] = np.where(mob[:, None], [cfg.U_max, 0.0], 0.0)
+    # engine defaults driven by the config so the module satisfies the
+    # shared sharded-runner surface (run_sharded_witch_bucket builds the
+    # engine from make_system alone); run()/callers may still override
+    if cfg.layout == "bucket" or cfg.use_pallas:
+        sys.freeze_opts.setdefault("layout", "bucket")
+        sys.freeze_opts.setdefault("skin", cfg.skin)
+    if cfg.flow:
+        # spawning writes arbitrary inactive slots -> the 1-cell-local
+        # stencil rescatter's locality invariant does not hold
+        sys.freeze_opts.setdefault("rescatter_mode", "sort")
+        sys.freeze_opts.setdefault("capacity", int(sys.n_built * 1.3))
     return sys
 
 
@@ -287,11 +305,22 @@ def make_step(cfg: LegacyConfig, engine):
         converted this step". On the ~699 quiet steps the cond's identity
         branch passes each field buffer through whole (the documented safe
         branch structure: per-field whole-buffer outputs, no stacking), so
-        the step pays only the O(n) edge test."""
+        the step pays only the O(n) edge test.
+
+        Under the slab decomposition (BucketShardEngine) both the source
+        test and the free-slot pool are restricted to OWNED slots: a ghost
+        copy of a converting column must neither convert nor spawn (its
+        owner does), and a spawn written into a ghost column would be
+        destroyed by the next halo refresh. The cond predicate is a local
+        scalar and the branch contains no collectives, so devices take the
+        spawn branch independently."""
         f = state.fields
         n = state.capacity
         edge = -cfg.dom_length / 2
         conv = state.active & (f["type"] == INFLOW) & (f["x"][:, 0] >= edge)
+        owned = getattr(engine, "owned_flat", None)
+        if owned is not None:
+            conv = conv & jnp.asarray(owned)
         k = cfg.max_spawn
 
         def spawn(f, active):
@@ -299,9 +328,12 @@ def make_step(cfg: LegacyConfig, engine):
             src = jnp.argsort(jnp.where(conv, jnp.arange(n, dtype=jnp.int32),
                                         jnp.int32(n)))[:k]
             src_ok = conv[src]
-            tgt = jnp.argsort(jnp.where(active, jnp.int32(n),
-                                        jnp.arange(n, dtype=jnp.int32)))[:k]
-            ok = src_ok & ~active[tgt]
+            free = ~active
+            if owned is not None:
+                free = free & jnp.asarray(owned)
+            tgt = jnp.argsort(jnp.where(free, jnp.arange(n, dtype=jnp.int32),
+                                        jnp.int32(n)))[:k]
+            ok = src_ok & free[tgt]
             tgt_safe = jnp.where(ok, tgt, n)
             x_new = f["x"][src] - jnp.asarray([cfg.bc_width, 0.0],
                                               f["x"].dtype)
@@ -418,6 +450,16 @@ def make_step(cfg: LegacyConfig, engine):
     return step
 
 
+# sharded-runner surface (run_sharded_witch_bucket(model=legacy_witch)):
+# the legacy frame exports; diagnostics are eager (lazy_diagnostics=False),
+# so make_finalize is never consulted but completes the module contract
+EXPORT_VARS = ("v", "P", "theta", "rho", "type")
+
+
+def make_finalize(cfg: LegacyConfig):
+    return None
+
+
 def mountain_force(state: ParticleState) -> dict:
     """Net SPH force the air exerts on the terrain: Σ m·Dv over MOUNTAIN
     rows — the reference's obstacle-force pattern (calculate_force,
@@ -447,18 +489,11 @@ def run(cfg: LegacyConfig, out_path: str | None = None, verbose: bool = False,
         return colagrossi_packing(cfg_.witch, engine, state, 1e-10, 1e-10, 100)
 
     def _make_system(cfg_):
+        # layout/skin/rescatter defaults come from make_system itself;
+        # only the caller-tunable spawn-pool headroom is applied here
         sys = make_system(cfg_)
-        if cfg_.use_pallas:
-            # the Pallas fast path needs the bucket-resident layout; wire
-            # the production defaults (BENCHMARKS.md: skin 0.15) so
-            # ``use_pallas=True`` on the config is sufficient by itself
-            sys.freeze_opts.setdefault("layout", "bucket")
-            sys.freeze_opts.setdefault("skin", 0.15)
         if cfg_.flow:
             sys.freeze_opts["capacity"] = int(sys.n_built * capacity_factor)
-            # spawning writes arbitrary inactive rows -> the 1-cell-local
-            # stencil rescatter's locality invariant does not hold
-            sys.freeze_opts["rescatter_mode"] = "sort"
         return sys
 
     return _run_witch_scheme(cfg, _make_system, make_step,

@@ -384,3 +384,51 @@ def test_bucket_sharded_checkpoint_resume(tmp_path):
     np.testing.assert_allclose([res["u_avg"][-1], res["u_max"][-1]],
                                [full["u_avg"][-1], full["u_max"][-1]],
                                rtol=1e-10)
+
+
+def test_bucket_sharded_flow_spawn_conserves():
+    """Dynamic-N flow scheme (inflow recycling) under the slab
+    decomposition: the boot inflow column converts at step 1 (it sits
+    exactly on the domain edge) and spawns a fresh upstream column, so the
+    run crosses a real spawn event. Conversion and the free-slot pool are
+    owned-gated (a ghost copy must neither convert nor spawn), so the
+    global particle count, velocity diagnostics, and the wave-drag
+    observable must all match the single-device run."""
+    from sph_mountain_waves_tpu.models import legacy_witch as lw
+    from sph_mountain_waves_tpu.parallel.bucket import (
+        build_bucket_sharding, gather_state_bucket, make_bucket_runner,
+        shard_state_bucket)
+
+    cfg = lw.isothermal_flow_config(n_rows=12, dom_length=60e3,
+                                    dtype="float64", layout="bucket",
+                                    skin=0.3)
+    # nearest boot inflow column sits ~333 m upstream of the edge and
+    # crosses it at U_max=20 after ~109 steps — 120 steps spans the event
+    n_steps = 120
+    sys1 = lw.make_system(cfg)
+    st1 = sys1.freeze()
+    step1 = jax.jit(lw.make_step(cfg, sys1.engine))
+    for _ in range(n_steps):
+        st1 = step1(st1)
+    n1 = int(np.asarray(st1.active).sum())
+    assert n1 > sys1.n_built  # the spawn event fired
+    act = np.asarray(st1.active)
+    s1 = np.sqrt((np.asarray(st1.fields["v"])[act] ** 2).sum(-1))
+    drag1 = float(lw.mountain_force(st1)["drag"])
+
+    sys2 = lw.make_system(cfg)
+    sys2.freeze()
+    mesh = make_mesh(8)
+    bds = build_bucket_sharding(sys2, 8)
+    state = shard_state_bucket(bds, sys2, mesh)
+    run_frame, diag = make_bucket_runner(
+        bds, mesh, lambda e: lw.make_step(cfg, e), steps_per_frame=10)
+    for _ in range(n_steps // 10):
+        state = run_frame(state)
+    ua, um, n = diag(state)
+    assert int(n) == n1
+    np.testing.assert_allclose([float(ua), float(um)],
+                               [s1.mean(), s1.max()], rtol=1e-10)
+    hstate = gather_state_bucket(bds, state)
+    drag2 = float(lw.mountain_force(hstate)["drag"])
+    np.testing.assert_allclose(drag2, drag1, rtol=1e-10)
