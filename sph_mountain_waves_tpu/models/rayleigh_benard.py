@@ -35,7 +35,8 @@ from .common import (frame_runner, masked_mean, masked_sum, maybe_checkpoint,
                      maybe_resume)
 
 FLUID = 0.0
-WALL = 1.0
+WALL = 1.0        # isothermal (clamped-T) wall
+WALL_ADIA = 2.0   # adiabatic (zero-flux) wall: excluded from conduction
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +55,12 @@ class Config:
     seed_amp: float = 1.0e-3       # initial temperature perturbation
     t_end: float = 5.0
     n_frames: int = 50
+    # "conducting": sidewalls clamped to the conductive profile (default,
+    # the BASELINE config). "adiabatic": zero-flux sidewalls — the
+    # square-cavity configuration of the published steady Nu(Ra)
+    # benchmark (Ouertatani et al. 2008), gated quantitatively in
+    # tests/test_rayleigh_benard.py.
+    sidewalls: str = "conducting"
     dtype: str = "float32"
     layout: str = "flat"
     skin: float = 0.0
@@ -126,6 +133,14 @@ def make_system(cfg: Config) -> ParticleSystem:
         pert = (cfg.seed_amp * np.sin(np.pi * y / cfg.H)
                 * np.cos(np.pi * x / cfg.H))
         chunk["T"] = np.where(chunk["type"] == FLUID, T + pert, T)
+        if cfg.sidewalls == "adiabatic":
+            # wall rows beyond the cavity's x-extent become zero-flux:
+            # excluded from the conduction sweep (the top/bottom plates
+            # stay clamped — they drive the instability)
+            side = ((chunk["type"] == WALL)
+                    & ((x < 0.0) | (x > cfg.aspect * cfg.H))
+                    & (y >= 0.0) & (y <= cfg.H))
+            chunk["type"] = np.where(side, WALL_ADIA, chunk["type"])
     return sys
 
 
@@ -141,10 +156,18 @@ def make_step(cfg: Config, engine):
         return {"Drho": ker * jnp.sum((p.x - q.x) * (p.v - q.v), axis=-1)}
 
     def heat_conduction(p, q, r):
-        # Cleary–Monaghan: DT += 2 m κ/(ρ_p ρ_q) (T_p − T_q) rDw; rDw < 0
-        ker = 2.0 * m * cfg.kappa / (p.rho * q.rho) * rDwendland2(h, r)
+        # SPH Laplacian (Cleary–Monaghan with κ as thermal DIFFUSIVITY):
+        # DT = κ·Σ 2 (m_q/ρ_q) (T_p − T_q) rDw  ≈ κ∇²T; rDw < 0.
+        # (The conductivity form κ/(ρ_p ρ_q) with a diffusivity value
+        # under-conducts by ρ0 — found by the mode-decay audit, which now
+        # gates κ_eff in tests/test_rayleigh_benard.py.)
+        # Adiabatic walls are zero-flux: pairs with a WALL_ADIA q exchange
+        # no heat (q-side gate; the p side is already FLUID-gated)
+        ker = 2.0 * m * cfg.kappa / q.rho * rDwendland2(h, r)
         fluid_p = p.type == FLUID
-        return {"DT": jnp.where(fluid_p, ker * (p.T - q.T), 0.0)}
+        conducts_q = q.type != WALL_ADIA
+        return {"DT": jnp.where(fluid_p & conducts_q,
+                                ker * (p.T - q.T), 0.0)}
 
     def find_pressure(u):
         rho = u.rho + u.Drho * dt

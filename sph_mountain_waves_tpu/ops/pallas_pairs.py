@@ -62,23 +62,26 @@ ROWS_PER_PROGRAM = None
 _VMEM_SCRATCH_BUDGET = 12 * 2**20  # bytes; old windowed design ran at ~12 MB
 
 # Mosaic's scoped-VMEM (stack) budget for kernel temporaries is 16 MB and the
-# register-accumulated pair body keeps ~40 live [cap, rp·nx] f32 vectors per
-# chain: stack grows ∝ rp·nx.  Measured on TPU v5e: rp=4 at the 2-D 1M bench
-# grid (nx≈2048 → 8192 lanes/program) dies at compile with
-# "Ran out of memory in memory space vmem while allocating on stack"
-# (17.08 MB vs the 16 MB limit), while the 3-D stretch grid (nx=384 →
-# ≤1536 lanes at rp=4) fits.  Cap the auto-picked program width at 2048
-# lanes: wide 2-D grids stay at the measured-optimal rp=1, narrow 3-D grids
-# keep the stacking win.  An explicit ROWS_PER_PROGRAM override bypasses
-# the cap (for experiments).
-_MAX_PROGRAM_LANES = 2048
+# register-accumulated pair body keeps ~40 live [cap_pad, rp·nx] f32 vectors
+# per chain: stack grows ∝ cap_pad·rp·nx.  Measured on TPU v5e: rp=4 at the
+# 2-D 1M bench grid (cap_pad 8, nx≈2048 → 8·8192 cap·lanes) dies at compile
+# with "Ran out of memory in memory space vmem while allocating on stack"
+# (17.08 MB vs the 16 MB limit) → ≈261 B per cap·lane, while the 3-D stretch
+# grid (cap_pad 8, rp·nx ≤ 1536 → 3.2 MB) fits.  Model the stack as
+# 261·cap_pad·rp·nx bytes and budget 12 MB (margin for kernels with more
+# live vectors than the measured 2-D momentum body).  This is cap_pad-aware:
+# a high-cap 3-D grid like collapse3d (cap_pad 40, nx 384, rp=4 → 16.0 MB)
+# is rejected where a lanes-only cap would wave it through.  An explicit
+# ROWS_PER_PROGRAM override bypasses the check (for experiments).
+_STACK_BYTES_PER_CAP_LANE = 261  # 17.08 MB / (8 · 8192), measured
+_STACK_BUDGET = 12 * 2**20
 
 
 def _rows_per_program(engine, n_in, n_out, cap_pad):
     """Largest rp ∈ {4, 2, 1} that divides the y-row count (programs must
     not straddle z-planes: rp | ny keeps jz constant per program; in 2-D
     R = ny), fits the double-buffered span scratch in VMEM, and keeps the
-    program's vector width under Mosaic's kernel-stack budget."""
+    modeled kernel-stack footprint under Mosaic's scoped-VMEM budget."""
     if ROWS_PER_PROGRAM is not None:
         rp = int(ROWS_PER_PROGRAM)
         candidates = [rp]
@@ -89,7 +92,9 @@ def _rows_per_program(engine, n_in, n_out, cap_pad):
     for rp in candidates:
         if ny % rp != 0:
             continue
-        if ROWS_PER_PROGRAM is None and rp * nx > _MAX_PROGRAM_LANES:
+        if (ROWS_PER_PROGRAM is None
+                and _STACK_BYTES_PER_CAP_LANE * cap_pad * rp * nx
+                > _STACK_BUDGET):
             continue
         W = (rp + 2) * nx + 2 * HALO
         scratch = (nw * n_in * 2 * cap_pad * W
@@ -343,6 +348,11 @@ def make_pair_kernel_fn(engine, state, static_fields, n_dyn, pair_body,
     keeps the invariant pad/reshape work out of the loop body by
     construction instead of relying on XLA loop-invariant code motion.
     ``pair_body`` sees fields indexed [occ] + static + dynamic."""
+    if not interpret and jax.default_backend() == "cpu":
+        # Mosaic kernels only compile for TPU; on the CPU backend
+        # (tests, jobs run off-TPU) fall back to interpret mode so
+        # use_pallas configs stay runnable everywhere
+        interpret = True
     nx = engine.lims[0]
     cap = engine.cap
     C = engine.num_cells
@@ -1018,18 +1028,25 @@ def rb_mass_heat_pass(engine, state, cfg, interpret=False):
     continuity form per collapse_dry.jl:112-115):
 
       Drho = Σ m·rDw(h,r)·(x_pq·v_pq)
-      DT   = Σ 2·m·κ/(ρ_p ρ_q)·rDw(h,r)·(T_p−T_q)
+      DT   = Σ 2·m·κ/ρ_q·rDw(h,r)·(T_p−T_q)   (κ = diffusivity)
 
     Fixed scalar h folds the kernel into a divide-free polynomial; 1/ρ is
     hoisted per particle (ρ floored at 1% ρ0 — inactive rows carry ρ=0).
+    Zero-flux walls (cfg.sidewalls="adiabatic") are handled by folding a
+    per-particle conduction weight ∈ {0,1} into the hoisted 1/ρ_q factor of
+    the DT term (q-side gate, matching the heat_conduction closure).
     Returns raw pair sums in flat slot order; the caller applies the
     p-side FLUID gate on DT (a p-constant factor) and the active mask."""
     f = state.fields
     d = engine.dim
-    rinv = 1.0 / jnp.maximum(f["rho"], 0.01 * cfg.rho0)
+    rinv_c = 1.0 / jnp.maximum(f["rho"], 0.01 * cfg.rho0)
+    if getattr(cfg, "sidewalls", "conducting") == "adiabatic":
+        from ..models.rayleigh_benard import WALL_ADIA
+        rinv_c = jnp.where(f["type"] == WALL_ADIA, 0.0, rinv_c)
     coords = [engine.resident(f["x"][:, a]) for a in range(d)]
     fields = coords + [engine.resident(a) for a in
-                       [f["v"][:, a] for a in range(d)] + [f["T"], rinv]]
+                       [f["v"][:, a] for a in range(d)]
+                       + [f["T"], rinv_c]]
     kc = cfg.m * _rdw_const(d) / cfg.h ** (d + 2)
     hinv = 1.0 / cfg.h
     twokap = 2.0 * cfg.kappa
@@ -1042,7 +1059,8 @@ def rb_mass_heat_pass(engine, state, cfg, interpret=False):
         dv = [p_all[1 + d + a] - q_all[1 + d + a][None, :] for a in range(d)]
         dot = sum(dx[a] * dv[a] for a in range(d))
         dT = p_all[1 + 2 * d] - q_all[1 + 2 * d][None, :]
-        rr = p_all[2 + 2 * d] * q_all[2 + 2 * d][None, :]
+        # SPH Laplacian weight: 1/ρ_q only (conduction-gated copy)
+        rr = q_all[2 + 2 * d][None, :]
         return [ker * dot, twokap * rr * ker * dT]
 
     return _run_pair_kernel(engine, state, fields, body, 2,
