@@ -76,6 +76,15 @@ _VMEM_SCRATCH_BUDGET = 12 * 2**20  # bytes; old windowed design ran at ~12 MB
 _STACK_BYTES_PER_CAP_LANE = 261  # 17.08 MB / (8 · 8192), measured
 _STACK_BUDGET = 12 * 2**20
 
+# Perf cutoff, separate from the OOM model: stacking amortizes VPU op-issue
+# latency, which only binds when programs are NARROW. Measured on v5e at
+# the 2-D 1M grid (nx=2048, cap 8): rp=1 → 4.64 ms/step, rp=2 (4096
+# lanes) → 5.64 ms/step — wide programs already fill the vector unit and
+# stacking just bloats the working set. The 3-D stretch grid (nx=384,
+# rp=4 → 1536 lanes) measures 96.3 → 69.6 ms/step. Crossover bracketed
+# in (1536, 4096]; stack only while rp·nx stays ≤ 2048 lanes.
+_MAX_STACK_LANES = 2048
+
 
 def _rows_per_program(engine, n_in, n_out, cap_pad):
     """Largest rp ∈ {4, 2, 1} that divides the y-row count (programs must
@@ -92,9 +101,10 @@ def _rows_per_program(engine, n_in, n_out, cap_pad):
     for rp in candidates:
         if ny % rp != 0:
             continue
-        if (ROWS_PER_PROGRAM is None
-                and _STACK_BYTES_PER_CAP_LANE * cap_pad * rp * nx
-                > _STACK_BUDGET):
+        if ROWS_PER_PROGRAM is None and (
+                rp * nx > _MAX_STACK_LANES   # measured perf cutoff
+                or _STACK_BYTES_PER_CAP_LANE * cap_pad * rp * nx
+                > _STACK_BUDGET):            # Mosaic kernel-stack OOM
             continue
         W = (rp + 2) * nx + 2 * HALO
         scratch = (nw * n_in * 2 * cap_pad * W
