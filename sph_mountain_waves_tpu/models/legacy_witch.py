@@ -84,6 +84,15 @@ class LegacyConfig:
     # and for the sharded runner) — consumed by make_system's freeze_opts
     layout: str = "flat"
     skin: float = 0.15
+    # Lattice-aligned bucket cells (WitchConfig.lattice_cells semantics):
+    # cells sized to exact lattice-pitch multiples with the 1e-6 DOWNWARD
+    # edge nudge. The flow variants seed a SQUARE lattice (pitch dr both
+    # axes) → cells 2dr hold exactly 4 rows; misaligned default cells
+    # (2.07·dr) alias — measured occupancy 4..9 at the terrain config →
+    # cap 16 and banded trip counts, ~4x the pair-sweep work.
+    lattice_cells: bool = False
+    # bucket-capacity override (see WitchConfig.bucket_cap)
+    bucket_cap: int | None = None
     # the legacy schemes export their diagnostics eagerly (the shared
     # sharded runner keys finalize on this flag, WitchConfig parity)
     lazy_diagnostics: bool = False
@@ -200,6 +209,17 @@ def make_system(cfg: LegacyConfig) -> ParticleSystem:
     if cfg.layout == "bucket" or cfg.use_pallas:
         sys.freeze_opts.setdefault("layout", "bucket")
         sys.freeze_opts.setdefault("skin", cfg.skin)
+    if cfg.bucket_cap:
+        sys.freeze_opts.setdefault("cap", cfg.bucket_cap)
+    if cfg.lattice_cells:
+        if cfg.flow:  # square lattice: pitch dr on both axes
+            c = 2.0 * cfg.dr * (1.0 - 1e-6)
+            sys.freeze_opts.setdefault("cells", (c, c))
+        else:  # hexagonal lattice: a-columns / b-rows (witch_common)
+            a = (4.0 / 3.0) ** 0.25 * cfg.dr
+            b = (3.0 / 4.0) ** 0.25 * cfg.dr
+            sys.freeze_opts.setdefault(
+                "cells", (2.0 * a * (1.0 - 1e-6), 2.0 * b * (1.0 - 1e-6)))
     if cfg.flow:
         # spawning writes arbitrary inactive slots -> the 1-cell-local
         # stencil rescatter's locality invariant does not hold
@@ -221,12 +241,12 @@ def make_step(cfg: LegacyConfig, engine):
         if cfg.flow:
             ker = q.m * rDwendland2(h0, r)  # flow variant: global h (:147)
             return {"Drho": ker * jnp.sum((p.x - q.x) * (p.v - q.v), axis=-1)}
-        ker = (q.m / q.rho) * rDwendland2(p.h, r)
+        ker = (q.m / jnp.maximum(q.rho, 1e-30)) * rDwendland2(p.h, r)
         return {"Drho": p.rho * ker
                 * jnp.sum((p.x - q.x) * (p.v - q.v), axis=-1)}
 
     def iso_balance_of_smoothing(u):
-        return {"Dh": -0.5 * (u.h / u.rho) * u.Drho}
+        return {"Dh": -0.5 * (u.h / jnp.maximum(u.rho, 1e-30)) * u.Drho}
 
     def iso_find_pressure(u):
         rho = u.rho + u.Drho * dt
@@ -238,7 +258,11 @@ def make_step(cfg: LegacyConfig, engine):
         return upd
 
     def find_pot_temp(u):
-        return {"theta": u.T * ((u.T * cfg.R_gas * cfg.rho0) / u.P)
+        # floor P: inactive slots carry P=0 and an Inf operand in the pow
+        # would push the whole [slots]-wide transcendental onto the ~15x
+        # slower VPU path (active rows sit at ~1e2..1e5 Pa — unaffected)
+        P = jnp.maximum(u.P, 1e-6)
+        return {"theta": u.T * ((u.T * cfg.R_gas * cfg.rho0) / P)
                 ** (cfg.R_gas / cfg.cp)}
 
     # --- adiabatic closures (adiabatic_static_witch.jl:130-164) ---
@@ -269,10 +293,14 @@ def make_step(cfg: LegacyConfig, engine):
         hker = p.h if (not cfg.flow and not cfg.adiabatic) else h0
         ker = q.m * rDwendland2(hker, r)
         x_pq = p.x - q.x
-        du = -(ker * (p.P / p.rho**2 + q.P / q.rho**2))[..., None] * x_pq
+        # rho floors: inactive rows carry rho=0 and a 0/0 NaN operand
+        # would poison the VPU fast path (masked later, but computed)
+        rho_p = jnp.maximum(p.rho, 1e-30)
+        rho_q = jnp.maximum(q.rho, 1e-30)
+        du = -(ker * (p.P / rho_p**2 + q.P / rho_q**2))[..., None] * x_pq
         denom = (r * r + 0.0025 * (p.h + q.h) ** 2 if not cfg.flow and not cfg.adiabatic
                  else r * r + 0.01 * h0 * h0)
-        visc = (8.0 * ker * cfg.mu / (p.rho * q.rho)
+        visc = (8.0 * ker * cfg.mu / (rho_p * rho_q)
                 * jnp.sum((p.v - q.v) * x_pq, axis=-1) / denom)
         return {"Dv": du + visc[..., None] * x_pq}
 
@@ -323,17 +351,26 @@ def make_step(cfg: LegacyConfig, engine):
             conv = conv & jnp.asarray(owned)
         k = cfg.max_spawn
 
+        def first_k(mask):
+            # indices of the first k True entries via cumsum rank-packing —
+            # one scan + one scatter instead of a capacity-size argsort
+            # (cheaper to compile and to run inside the cond branch)
+            rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+            rank = jnp.where(mask, rank, k)
+            return jnp.full((k,), n, jnp.int32).at[rank].set(
+                jnp.arange(n, dtype=jnp.int32), mode="drop")
+
         def spawn(f, active):
             new_type = jnp.where(conv, FLUID, f["type"])
-            src = jnp.argsort(jnp.where(conv, jnp.arange(n, dtype=jnp.int32),
-                                        jnp.int32(n)))[:k]
-            src_ok = conv[src]
+            src_raw = first_k(conv)
+            src = jnp.minimum(src_raw, n - 1)       # sentinel n -> clamp
+            src_ok = (src_raw < n) & conv[src]
             free = ~active
             if owned is not None:
                 free = free & jnp.asarray(owned)
-            tgt = jnp.argsort(jnp.where(free, jnp.arange(n, dtype=jnp.int32),
-                                        jnp.int32(n)))[:k]
-            ok = src_ok & free[tgt]
+            tgt_raw = first_k(free)
+            tgt = jnp.minimum(tgt_raw, n - 1)
+            ok = src_ok & (tgt_raw < n) & free[tgt]
             tgt_safe = jnp.where(ok, tgt, n)
             x_new = f["x"][src] - jnp.asarray([cfg.bc_width, 0.0],
                                               f["x"].dtype)
@@ -390,7 +427,8 @@ def make_step(cfg: LegacyConfig, engine):
         state = apply_unary(state, accelerate)
         state = apply_unary(state, move)
         if cfg.flow:
-            state = add_new_particles(state)
+            if cfg.max_spawn:  # max_spawn=0 disables recycling (ablation)
+                state = add_new_particles(state)
             state = apply_unary(state, set_inflow_speed)
         state, nbrs = engine.rebuild(state)
         force_done = False
@@ -536,4 +574,7 @@ def terrain_baseline_config(**kw) -> LegacyConfig:
     including the mountain body). Wave drag/lift are exported per frame
     (``mountain_force``)."""
     kw.setdefault("n_rows", 228)
+    # lattice-aligned cells: cap 8 / uniform occupancy 4 / half the slots
+    # (misaligned default cells alias to occupancy 4..9 -> cap 16)
+    kw.setdefault("lattice_cells", True)
     return isothermal_flow_config(**kw)
