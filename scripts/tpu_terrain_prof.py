@@ -58,6 +58,39 @@ print(f"RESULT terrain_{{VARIANT}} n={{n}} ms_step={{best*1000:.3f}} ps={{n/best
 '''
 
 
+CHILD_ISPH = r'''
+import time, sys
+from functools import partial
+import jax, jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
+from sph_mountain_waves_tpu.models import isph_witch as iw
+cfg = iw.baseline_config(cg_tol={tol}, cg_maxiter={maxiter})
+sys_ = iw.make_system(cfg)
+state = sys_.freeze()
+step = iw.make_step(cfg, sys_.engine)
+n = sys_.n_built
+print("built n =", n, flush=True)
+@partial(jax.jit, donate_argnums=0)
+def run(s):
+    s, _ = jax.lax.scan(lambda s, _: (step(s), None), s, None, length=20)
+    return s
+t0 = time.perf_counter()
+state = run(state)
+float(jnp.sum(state.fields["x"][:, 1]))
+print(f"compile+first: {{time.perf_counter()-t0:.1f}}s", flush=True)
+best = 1e9
+for _ in range(3):
+    t0 = time.perf_counter()
+    state = run(state)
+    float(jnp.sum(state.fields["x"][:, 1]))
+    best = min(best, (time.perf_counter() - t0) / 20)
+it = float(state.fields["cg_it"][0]); res = float(state.fields["cg_res"][0])
+print(f"RESULT isph tol={cfg.cg_tol} maxiter={cfg.cg_maxiter} n={{n}} "
+      f"ms_step={{best*1000:.2f}} ps={{n/best:.4g}} cg_it={{it:.0f}} "
+      f"cg_res={{res:.2e}}")
+'''
+
+
 def run_job(name, code, timeout_s):
     with open(LOG, "a") as f:
         f.write(f"--- {name} start {time.strftime('%H:%M:%S')}\n")
@@ -73,9 +106,16 @@ def run_job(name, code, timeout_s):
 
 
 def main():
-    variants = sys.argv[1:] or ["full", "rebuild", "nospawn"]
+    variants = sys.argv[1:] or ["full", "rebuild", "nospawn", "isph"]
     for v in variants:
-        run_job(f"terrain_{v}", CHILD.format(variant=v), 3600)
+        if v == "isph":
+            run_job("isph_obs", CHILD_ISPH.format(tol="1e-6", maxiter="200"),
+                    3600)
+        elif v.startswith("isph_tol"):
+            # e.g. isph_tol1e-4
+            run_job(v, CHILD_ISPH.format(tol=v[8:], maxiter="200"), 3600)
+        else:
+            run_job(f"terrain_{v}", CHILD.format(variant=v), 3600)
     with open(LOG, "a") as f:
         f.write("PROF DONE\n")
 

@@ -76,6 +76,8 @@ class LegacyConfig:
     # exact checkpoint/resume, same contract as WitchConfig (SURVEY §5)
     checkpoint_every: int = 0
     resume: str = ""
+    # frame-as-initial-condition boot (WitchConfig.init_vtp semantics)
+    init_vtp: str = ""
     # Pallas fast path for the isothermal-flow (terrain) pair sweeps —
     # requires bucket layout; honored like WitchConfig.use_pallas/fast_math
     use_pallas: bool = False
@@ -169,40 +171,51 @@ def make_system(cfg: LegacyConfig) -> ParticleSystem:
 
     sys = ParticleSystem(fields=FIELDS, domain=domain + fence, h=cfg.h0,
                          dim=2, dtype=cfg.jdtype)
-    gen = partial(generate_particles, sys, grid)
-    gen(domain - mountain, lambda xs: {"type": FLUID})
-    gen(mountain, lambda xs: {"type": MOUNTAIN})
-    if cfg.flow:
-        # fence split: ground+sky walls, wind inflow, sink outflow
-        # (isothermal_flow_witch.jl:96-105)
-        ground = Specification(fence, lambda x: x[..., 1] < 0)
-        sky = Specification(fence, lambda x: x[..., 1] > cfg.dom_height)
-        wind = Specification(fence, lambda x: (x[..., 0] <= -cfg.dom_length / 2)
-                             & (x[..., 1] >= 0) & (x[..., 1] <= cfg.dom_height))
-        gen(wind, lambda xs: {"type": INFLOW})
-        gen(ground + sky, lambda xs: {"type": WALL})
-        # OUTFLOW region is dropped right after packing in the reference
-        # (:114) — never generated here
+    imported: set = set()
+    if cfg.init_vtp:
+        # frame-as-initial-condition boot (src/IO.jl:83-122 restart idiom);
+        # missing fields are rebuilt from the background at saved positions
+        from ..io import import_particles, read_vtp
+        imported = set(read_vtp(cfg.init_vtp)[1])
+        import_particles(sys, cfg.init_vtp)
     else:
-        gen(fence, lambda xs: {"type": WALL})
+        gen = partial(generate_particles, sys, grid)
+        gen(domain - mountain, lambda xs: {"type": FLUID})
+        gen(mountain, lambda xs: {"type": MOUNTAIN})
+        if cfg.flow:
+            # fence split: ground+sky walls, wind inflow, sink outflow
+            # (isothermal_flow_witch.jl:96-105)
+            ground = Specification(fence, lambda x: x[..., 1] < 0)
+            sky = Specification(fence, lambda x: x[..., 1] > cfg.dom_height)
+            wind = Specification(
+                fence, lambda x: (x[..., 0] <= -cfg.dom_length / 2)
+                & (x[..., 1] >= 0) & (x[..., 1] <= cfg.dom_height))
+            gen(wind, lambda xs: {"type": INFLOW})
+            gen(ground + sky, lambda xs: {"type": WALL})
+            # OUTFLOW region is dropped right after packing in the reference
+            # (:114) — never generated here
+        else:
+            gen(fence, lambda xs: {"type": WALL})
 
     for chunk in sys._chunks:
         y = chunk["x"][:, 1]
         rho = cfg.rho0 * np.exp(-y * cfg.g / (cfg.R_mass * cfg.T0))
-        chunk["h"] = np.full_like(y, cfg.h0)
-        chunk["rho"] = rho
-        chunk["m"] = rho * cfg.dr**2
-        chunk["P"] = rho * cfg.T0 * cfg.R_mass
-        chunk["theta"] = cfg.T0 * ((cfg.T0 * cfg.R_mass * cfg.rho0)
-                                   / chunk["P"]) ** (cfg.R_gas / cfg.cp)
-        chunk["T"] = np.full_like(y, cfg.T0)
+        upd = {"h": np.full_like(y, cfg.h0), "rho": rho,
+               "m": rho * cfg.dr**2,
+               "P": rho * cfg.T0 * cfg.R_mass,
+               "T": np.full_like(y, cfg.T0)}
+        upd["theta"] = cfg.T0 * ((cfg.T0 * cfg.R_mass * cfg.rho0)
+                                 / upd["P"]) ** (cfg.R_gas / cfg.cp)
         if cfg.adiabatic:
-            chunk["S"] = chunk["m"] * cfg.cv * np.log(
+            upd["S"] = upd["m"] * cfg.cv * np.log(
                 (cfg.cv * cfg.T0 * (cfg.gamma - 1))
                 / (cfg.gamma * rho ** (cfg.gamma - 1)))
-        if cfg.flow:
+        if cfg.flow and "v" not in imported:
             mob = (chunk["type"] == FLUID) | (chunk["type"] == INFLOW)
-            chunk["v"] = np.where(mob[:, None], [cfg.U_max, 0.0], 0.0)
+            upd["v"] = np.where(mob[:, None], [cfg.U_max, 0.0], 0.0)
+        for name, val in upd.items():
+            if name not in imported:  # frame-imported fields stay as loaded
+                chunk[name] = val
     # engine defaults driven by the config so the module satisfies the
     # shared sharded-runner surface (run_sharded_witch_bucket builds the
     # engine from make_system alone); run()/callers may still override

@@ -118,6 +118,13 @@ class WitchConfig:
     # effect the checkpoint already contains.
     checkpoint_every: int = 0
     resume: str = ""
+    # boot from a saved ParaView frame instead of the lattice (the
+    # reference's import_particles!/init_vtp restart idiom, src/IO.jl:
+    # 83-122): positions + frame-exported fields from the file, everything
+    # else rebuilt from the hydrostatic background at the saved positions.
+    # Approximate by construction (m/h are re-derived); bitwise restart is
+    # the npz `resume` channel.
+    init_vtp: str = ""
 
     @property
     def dr(self) -> float:
@@ -248,14 +255,28 @@ def make_witch_system(cfg: WitchConfig, fields: dict,
         b = (3.0 / 4.0) ** 0.25 * cfg.dr
         sys.freeze_opts["cells"] = (2.0 * a * (1.0 - 1e-6),
                                     2.0 * b * (1.0 - 1e-6))
-    generate_particles(sys, grid, domain - mountain, lambda xs: {"type": FLUID})
-    generate_particles(sys, grid, fence, lambda xs: {"type": WALL})
-    generate_particles(sys, grid, mountain, lambda xs: {"type": FLUID})
+    imported: set = set()
+    if getattr(cfg, "init_vtp", ""):
+        # boot from a saved ParaView frame (the reference's restart idiom,
+        # src/IO.jl:83-122 / sph_jl/examples/cylinder.jl:84-89): positions
+        # and every frame-exported field come from the file; fields the
+        # frame does not carry are rebuilt from the hydrostatic background
+        # at the SAVED positions below. Exact (bitwise) restart is the npz
+        # checkpoint channel — this is the frame-as-initial-condition one.
+        from ..io import import_particles, read_vtp
+        imported = set(read_vtp(cfg.init_vtp)[1])
+        import_particles(sys, cfg.init_vtp)
+    else:
+        generate_particles(sys, grid, domain - mountain,
+                           lambda xs: {"type": FLUID})
+        generate_particles(sys, grid, fence, lambda xs: {"type": WALL})
+        generate_particles(sys, grid, mountain, lambda xs: {"type": FLUID})
 
-    # hydrostatic isothermal init common to all schemes (:125-144)
+    # hydrostatic isothermal init common to all schemes (:125-144);
+    # frame-imported fields are left as loaded
     for chunk in sys._chunks:
         y = chunk["x"][:, 1]
-        if "h" in chunk:
+        if "h" in chunk and "h" not in imported:
             chunk["h"] = np.full_like(y, cfg.h0)
         rho_bg = background_density(cfg, y)
         for name, val in [
@@ -268,7 +289,7 @@ def make_witch_system(cfg: WitchConfig, fields: dict,
             ("T", np.full_like(y, cfg.T_bg)),
             ("m", rho_bg * cfg.dr**2),
         ]:
-            if name in chunk:
+            if name in chunk and name not in imported:
                 chunk[name] = val
     return sys
 

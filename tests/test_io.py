@@ -95,3 +95,51 @@ def test_csv_artifact_channel(io_dir):
     back = read_csv(os.path.join(out_dir, "data.csv"))
     assert set(back) == {"t", "X", "H", "E"}
     np.testing.assert_allclose(back["E"], out["E"], rtol=1e-12)
+
+
+def test_init_vtp_frame_restart(io_dir):
+    """Frame-as-initial-condition boot (reference import_particles!/init_vtp
+    idiom, src/IO.jl:83-122): a witch scheme booted from a saved frame
+    carries the frame's exported fields verbatim and keeps stepping; a
+    legacy flow scheme does the same (typed boundaries preserved)."""
+    import dataclasses
+    import os
+
+    from sph_mountain_waves_tpu.io import read_vtp
+    from sph_mountain_waves_tpu.models import legacy_witch as lw
+    from sph_mountain_waves_tpu.models import wcsph_perturbed_witch as w
+    from sph_mountain_waves_tpu.models.witch_common import WitchConfig
+
+    out_dir = os.path.join(io_dir, "vtprun")
+    cfg = WitchConfig(n_rows=10, t_end=4.0, n_frames=2, dtype="float64")
+    w.run(cfg, out_path=out_dir)
+    frame = os.path.join(out_dir, "frame2.vtp")
+    pts, data = read_vtp(frame)
+
+    cfg2 = dataclasses.replace(cfg, init_vtp=frame)
+    sys = w.make_system(cfg2)
+    st = sys.freeze()
+    act = np.asarray(st.active)
+    assert act.sum() == len(pts)
+    # flat layout keeps add order: fields land verbatim
+    np.testing.assert_allclose(np.asarray(st.fields["x"])[act], pts[:, :2])
+    for name in ("v", "rho", "P", "type"):
+        got = np.asarray(st.fields[name])[act].reshape(len(pts), -1)
+        # VTP pads vectors to 3 components (ParaView convention)
+        want = np.asarray(data[name]).reshape(len(pts), -1)[:, :got.shape[1]]
+        np.testing.assert_allclose(got, want)
+    # and the restarted run steps
+    res = w.run(dataclasses.replace(cfg2, t_end=2.0, n_frames=1))
+    assert np.isfinite(res["u_max"]).all()
+
+    # legacy flow scheme: typed boundaries come from the frame
+    lcfg = lw.isothermal_flow_config(n_rows=10, dom_length=60e3,
+                                     t_end=1.0, n_frames=1, dtype="float64")
+    lout = os.path.join(io_dir, "legacyrun")
+    lw.run(lcfg, out_path=lout)
+    lframe = os.path.join(lout, "frame1.vtp")
+    res2 = lw.run(dataclasses.replace(lcfg, init_vtp=lframe))
+    st2 = res2["state"]
+    ty = np.asarray(st2.fields["type"])[np.asarray(st2.active)]
+    assert (ty == lw.INFLOW).any() and (ty == lw.MOUNTAIN).any()
+    assert np.isfinite(res2["drag"]).all()

@@ -48,3 +48,50 @@ def test_rayleigh_benard_checkpoint_resume(tmp_path):
     assert res["t"][-1] == full["t"][-1]
     assert res["KE"][-1] == full["KE"][-1]
     assert res["Nu"][-1] == full["Nu"][-1]
+
+
+def test_conduction_operator_consistency():
+    """Point-wise quantitative gate on the conduction operator: for
+    T' = sin(pi x)sin(pi y) on the boot lattice, the SPH Laplacian
+    DT = kappa * sum 2(m/rho_q)(T_p - T_q) rDw must reproduce
+    kappa * lap(T') to the square-lattice quadrature factor (0.974 at
+    h = 2 dr). Guards the diffusivity normalization — the conductivity
+    form (an extra 1/rho_0) under-conducted by 1000x and silently killed
+    convection below Ra ~ 3e4 (caught by a mode-decay audit in round 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sph_mountain_waves_tpu.kernels import rDwendland2
+    from sph_mountain_waves_tpu.ops.apply import apply_binary
+
+    cfg = rb.Config(n_rows=24, aspect=1.0, Ra=1e-3, beta=1e-8,
+                    seed_amp=0.0, dtype="float64")
+    sys = rb.make_system(cfg)
+    for chunk in sys._chunks:
+        x, y = chunk["x"][:, 0], chunk["x"][:, 1]
+        fl = chunk["type"] == rb.FLUID
+        chunk["T"] = chunk["T"] + np.where(
+            fl, 0.02 * np.sin(np.pi * np.clip(x, 0, 1))
+            * np.sin(np.pi * np.clip(y, 0, 1)), 0.0)
+    st = sys.freeze()
+    eng = sys.engine
+    st, nbrs = jax.jit(eng.rebuild)(st)
+    m, h, kap = cfg.m, cfg.h, cfg.kappa
+
+    def heat(p, q, r):  # the model's heat_conduction (conducting walls)
+        ker = 2.0 * m * kap / q.rho * rDwendland2(h, r)
+        return {"DT": jnp.where(p.type == rb.FLUID, ker * (p.T - q.T), 0.0)}
+
+    st = st.replace(DT=jnp.zeros_like(st.fields["DT"]))
+    st = apply_binary(eng, st, nbrs, heat)
+    f = st.fields
+    act = np.asarray(st.active)
+    xy = np.asarray(f["x"])
+    fl = act & (np.asarray(f["type"]) == rb.FLUID)
+    mid = (fl & (xy[:, 0] > 0.3) & (xy[:, 0] < 0.7)
+           & (xy[:, 1] > 0.3) & (xy[:, 1] < 0.7))
+    Tp = (0.02 * np.sin(np.pi * xy[:, 0]) * np.sin(np.pi * xy[:, 1]))
+    expect = -kap * 2 * np.pi ** 2 * Tp
+    ratio = np.asarray(f["DT"])[mid] / expect[mid]
+    assert abs(ratio.mean() - 0.974) < 0.03      # lattice quadrature factor
+    assert ratio.std() < 1e-6                    # uniform on the lattice
