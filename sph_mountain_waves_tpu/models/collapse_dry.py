@@ -56,6 +56,8 @@ class Config:
     use_pallas: bool = False
     # exact checkpoint/resume, same contract as WitchConfig (SURVEY §5)
     checkpoint_every: int = 0
+    # per-frame terminal sparklines (unicodeplots-in-the-loop parity)
+    live_plot: bool = False
     resume: str = ""
 
     @property
@@ -235,6 +237,9 @@ def run(cfg: Config = Config(), out_path: str | None = None, verbose: bool = Fal
         if verbose:
             print(f"t = {t:.4f} s  X = {float(X):.3f}  H = {float(H):.3f}  "
                   f"E = {float(E):.6e}")
+        if cfg.live_plot:
+            from ..utils.plots import live_plot
+            live_plot({"X": Xs, "H": Hs})
         if out:
             save_frame(out, state, "v", "P", "type", time=t)
         maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame,

@@ -287,6 +287,9 @@ def _run(cfg, out_path, verbose):
             print(f"t = {t:.3f}  n = {int(state.n)}  "
                   f"u_avg = {float(u_avg):.4e}  u_max = {float(u_max):.4e}  "
                   f"cg_it = {cg_it:.0f}  cg_res = {cg_res:.2e}")
+        if getattr(cfg, "live_plot", False):
+            from ..utils.plots import live_plot
+            live_plot({"u_max": u_maxs, "cg_it": cg_its})
         if out:
             save_frame(out, state, *EXPORT_VARS, time=t)
         maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame,

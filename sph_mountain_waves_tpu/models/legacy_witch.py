@@ -78,6 +78,9 @@ class LegacyConfig:
     resume: str = ""
     # frame-as-initial-condition boot (WitchConfig.init_vtp semantics)
     init_vtp: str = ""
+    # per-frame terminal sparklines of the diagnostics (the reference's
+    # unicodeplots-in-the-loop channel, wcsph_perturbed_witch.jl:15,393-405)
+    live_plot: bool = False
     # Pallas fast path for the isothermal-flow (terrain) pair sweeps —
     # requires bucket layout; honored like WitchConfig.use_pallas/fast_math
     use_pallas: bool = False

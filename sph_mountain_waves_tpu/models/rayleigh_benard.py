@@ -68,6 +68,8 @@ class Config:
     # exact checkpoint/resume, same contract as WitchConfig (SURVEY §5)
     checkpoint_every: int = 0
     resume: str = ""
+    # per-frame terminal sparklines (unicodeplots-in-the-loop parity)
+    live_plot: bool = False
 
     @property
     def dr(self) -> float:
@@ -282,6 +284,9 @@ def run(cfg: Config = Config(), out_path: str | None = None,
         if verbose:
             print(f"t = {t:.3f}  KE = {float(ke):.4e}  Nu = {float(nu):.3f}  "
                   f"n = {int(state.n)}")
+        if cfg.live_plot:
+            from ..utils.plots import live_plot
+            live_plot({"KE": KEs, "Nu": Nus})
         if out:
             save_frame(out, state, "v", "P", "T", "type", time=t)
         maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame,

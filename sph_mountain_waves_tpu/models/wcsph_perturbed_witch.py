@@ -237,6 +237,10 @@ def _run_witch_scheme(cfg, make_system_fn, make_step_fn, export_vars,
             print(f"t = {t:.3f}  n = {int(state.n)}  "
                   f"u_avg = {float(u_avg):.4e}  u_max = {float(u_max):.4e}"
                   + tail)
+        if getattr(cfg, "live_plot", False):
+            from ..utils.plots import live_plot
+            live_plot({"u_max": u_maxs,
+                       **{k: v for k, v in extra_hist.items()}})
         if out:
             save_frame(out, state, *export_vars, time=t)
         maybe_checkpoint(cfg, out, state, sys.engine, k, t, frame,

@@ -125,6 +125,9 @@ class WitchConfig:
     # Approximate by construction (m/h are re-derived); bitwise restart is
     # the npz `resume` channel.
     init_vtp: str = ""
+    # per-frame terminal sparklines of the diagnostics (the reference's
+    # unicodeplots-in-the-loop channel, wcsph_perturbed_witch.jl:15,393-405)
+    live_plot: bool = False
 
     @property
     def dr(self) -> float:

@@ -146,3 +146,37 @@ def plot_velocities(out_dir: str, t, u_avg, u_max) -> bool:
     fig.savefig(os.path.join(out_dir, "velocities.pdf"))
     plt.close(fig)
     return True
+
+
+# --------------------------------------------------------- terminal plots
+
+_SPARK = "▁▂▃▄▅▆▇█"
+
+
+def ascii_series(name: str, values, width: int = 64) -> str:
+    """One-line terminal sparkline of a time series — the in-run plotting
+    channel (the reference renders unicodeplots lineplots during the main
+    loop, src/current/wcsph_perturbed_witch.jl:15,393-405; on a TPU batch
+    node a one-liner beats a 20-row canvas). Values are resampled to
+    ``width`` columns and binned over the series range."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=float).reshape(-1)
+    v = v[np.isfinite(v)]
+    if len(v) == 0:
+        return f"{name}: (no data)"
+    if len(v) > width:
+        idx = np.linspace(0, len(v) - 1, width).round().astype(int)
+        v = v[idx]
+    lo, hi = float(v.min()), float(v.max())
+    span = (hi - lo) or 1.0
+    cells = ((v - lo) / span * (len(_SPARK) - 1)).round().astype(int)
+    line = "".join(_SPARK[c] for c in cells)
+    return f"{name} [{lo:.3g}, {hi:.3g}]: {line}"
+
+
+def live_plot(series: dict, width: int = 64) -> None:
+    """Print one sparkline per entry — called per frame by run loops when
+    ``cfg.live_plot`` is set (unicodeplots-in-the-loop parity)."""
+    for name, values in series.items():
+        print("  " + ascii_series(name, values, width), flush=True)
