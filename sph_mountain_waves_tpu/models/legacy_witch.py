@@ -225,6 +225,22 @@ def make_system(cfg: LegacyConfig) -> ParticleSystem:
     if cfg.layout == "bucket" or cfg.use_pallas:
         sys.freeze_opts.setdefault("layout", "bucket")
         sys.freeze_opts.setdefault("skin", cfg.skin)
+    # irreducible per-row state: everything else is (a) uniformly zero at
+    # rebuild time (Dv/Dh/Drho are reset before the rebuild each step) or
+    # (b) recomputed from persistent fields before it is read (P/theta/s
+    # in the isothermal EOS chain). The adiabatic EOS writes T/P only on
+    # FLUID rows (walls keep their init values), so those must move too,
+    # as must S (evolves by viscous production) and theta (adia never
+    # recomputes it — export-only). Fewer sort payloads = cheaper
+    # rescatters (each payload is ~1 ms per 2M slots).
+    pers = ["x", "v", "h", "m", "rho", "type", "T"]
+    if cfg.adiabatic:
+        pers += ["S", "P", "theta"]
+    elif not cfg.flow:
+        # iso static never recomputes theta in-step (find_pot_temp is the
+        # flow branch's diagnostic) — keep the init values moving
+        pers += ["theta"]
+    sys.freeze_opts.setdefault("persistent", tuple(pers))
     if cfg.bucket_cap:
         sys.freeze_opts.setdefault("cap", cfg.bucket_cap)
     if cfg.lattice_cells:
