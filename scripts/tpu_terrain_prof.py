@@ -25,6 +25,8 @@ kw = dict(use_pallas=True, fast_math=True)
 if VARIANT == "fullskin":
     # big drift slack: misaligned cells (cap 16) but ~5x fewer rescatters
     kw.update(lattice_cells=False, skin=0.6)
+elif VARIANT == "fullskin1":
+    kw.update(lattice_cells=False, skin=1.0)
 cfg = lw.terrain_baseline_config(**kw)
 sys_ = lw.make_system(cfg)
 state = sys_.freeze()
@@ -32,7 +34,7 @@ eng = sys_.engine
 print("cap", eng.cap, "lims", eng.lims, "slots", eng.slots, flush=True)
 full_step = lw.make_step(cfg, eng)
 
-if VARIANT in ("full", "fullskin"):
+if VARIANT in ("full", "fullskin", "fullskin1"):
     step = full_step
 elif VARIANT == "nospawn":
     import dataclasses
