@@ -171,11 +171,9 @@ import jax, jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 from sph_mountain_waves_tpu.models import legacy_witch as lw
 cfg = lw.terrain_baseline_config(use_pallas={up}, fast_math={up})
+# make_system wires the production engine defaults from the config
+# (bucket layout, skin-0.6 cells, sort rescatter, spawn-pool capacity)
 sys_ = lw.make_system(cfg)
-sys_.freeze_opts["capacity"] = int(sys_.n_built * 1.3)
-sys_.freeze_opts["rescatter_mode"] = "sort"  # spawn pool teleports rows
-sys_.freeze_opts["layout"] = "bucket"  # eps-identical to flat (test_legacy)
-sys_.freeze_opts["skin"] = 0.15
 state = sys_.freeze()
 step = lw.make_step(cfg, sys_.engine)
 n = sys_.n_built
