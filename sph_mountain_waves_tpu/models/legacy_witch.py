@@ -609,10 +609,10 @@ def terrain_baseline_config(**kw) -> LegacyConfig:
     # Rescatter cadence, not sweep width, bounds this config: the blocked
     # flow sustains u_max ≈ 400 m/s (TPU-measured over 2000 steps), so the
     # drift budget (cell−h)/2 sets how often the ~100 ms sort rescatter
-    # fires. Lattice 2·dr cells (cap 8, budget 23 m → every ~7 steps)
-    # measure 23-24 ms/step; skin=0.6 cells (cap 16, budget 123 m → every
-    # ~38 steps) measure 7.75 ms/step — 4.8x faster despite doubled
-    # pair-sweep width. The ~2.9 ms sum-of-parts (rebuild 0.58 + mass 0.74
-    # + force 0.90 + unaries 0.61) is the cadence-free floor.
-    kw.setdefault("skin", 0.6)
+    # fires. TPU A/B (round 3, ms/step): lattice 2·dr cells (cap 8, budget
+    # 23 m) 23-24; skin=0.6 (cap 16, budget 123 m) 6.32; skin=1.0 (cap 24,
+    # budget 205 m → every ~64 steps) 4.02 — wider cells lose on sweep
+    # width but win ~6x on cadence. The ~2.9 ms sum-of-parts (rebuild 0.58
+    # + mass 0.74 + force 0.90 + unaries 0.61) is the cadence-free floor.
+    kw.setdefault("skin", 1.0)
     return isothermal_flow_config(**kw)
