@@ -40,10 +40,20 @@ def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
         h_m=300.0, a=5e3, avg_window=0.2):
     from sph_mountain_waves_tpu.models import legacy_witch as lw
 
+    # true_rayleigh: the reference's as-committed sponge is a constant
+    # body force (typo'd damping_structure) that drives the whole domain
+    # to u_avg ~ 67 m/s — unusable for a quantitative wave observable;
+    # the corrected -gamma(z)*(v - U_bg) sponge is required here.
     cfg = lw.adiabatic_flow_config(
         n_rows=n_rows, dom_height=20e3, dom_length=60e3, z_b=8e3,
         h_m=h_m, a=a, t_end=t_end, n_frames=100, dtype="float32",
-        use_pallas=use_pallas, fast_math=use_pallas)
+        use_pallas=use_pallas, fast_math=use_pallas,
+        # the corrected-physics bundle (all three reference defects
+        # repaired — see LegacyConfig): without them the tunnel is
+        # unusable (sponge body force / entropy-init imbalance /
+        # boundary suction). CPU-piloted: u_avg holds ~U steadily.
+        true_rayleigh=True, consistent_entropy=True,
+        outflow_buffer=6.0 * 1.8 * (20e3 / n_rows))
     N_bv = cfg.g / float(np.sqrt(cfg.cp * cfg.T0))     # adiabatic scheme N
     D_lin = (np.pi / 4) * cfg.rho0 * N_bv * cfg.U_max * cfg.h_m**2
     print(f"dr={cfg.dr:.0f}  dt={cfg.dt:.4e}  steps={cfg.t_end/cfg.dt:.0f}  "

@@ -103,7 +103,9 @@ import sys
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 from linear_drag import run
-run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=False)
+# XLA path: the fused adia Pallas kernels are not yet parity-gated under
+# the corrected-physics flags, and the 23:15 worker crash is unexplained
+run(n_rows=200, t_end=2500.0, use_pallas=False, verbose=False)
 '''
 
 

@@ -101,6 +101,37 @@ class LegacyConfig:
     # the legacy schemes export their diagnostics eagerly (the shared
     # sharded runner keys finalize on this flag, WitchConfig parity)
     lazy_diagnostics: bool = False
+    # The reference's sponge is DEFECTIVE as committed
+    # (isothermal_flow_witch.jl:192-198,213): damping_structure returns
+    # γᵣ·sin²(π/2·(1−(zₜ−zᵦ)/zᵦ)) — a constant (the intended z is typo'd
+    # as zᵦ) — and accelerate! subtracts it as a constant BODY FORCE, not
+    # −γ·v. That ~1 m/s² force on the sponge region drives the whole
+    # domain to u_avg ≈ 67 / u_max ≈ 400 m/s regardless of terrain
+    # (measured). Default False = faithful. True = corrected Rayleigh
+    # damping −γ(z)·v with the intended sin² ramp in z — required for any
+    # quantitative wave observable (the linear drag gate uses it).
+    true_rayleigh: bool = False
+    # Open right boundary. The reference deletes its OUTFLOW region at
+    # init and never re-creates it (isothermal_flow_witch.jl:114), so the
+    # rightmost fluid column has one-sided kernel support — a sustained
+    # ~O(P/(ρh)) spurious edge acceleration that evacuates columns and
+    # sends a disturbance left at ~c (the reference outruns it with
+    # t_end=200 s in a 100 km domain; measured here: u_avg ~ 40 m/s once
+    # it arrives). With outflow_buffer = w > 0 (meters, use ≥ 2·h0),
+    # FLUID entering the last w of the domain converts to OUTFLOW:
+    # force-frozen (accelerate skips it), still advected at its frozen
+    # velocity, still a neighbor (kernel support for the interior), and
+    # deleted once it leaves the grid — the reference's own OUTFLOW type
+    # made into a working open boundary. 0 = off (faithful).
+    outflow_buffer: float = 0.0
+    # The reference's adiabatic entropy INIT is inconsistent with its own
+    # EOS (adiabatic_static_witch.jl:85 vs :146): S = m·cv·ln(cv·T0·(γ−1)
+    # /(γ·ρ^(γ−1))) recovers T(ρ,s) = T0/γ = 178.6 K, not T0 = 250 K —
+    # every adiabatic run boots 29% below hydrostatic pressure and the
+    # atmosphere collapses (measured: u_avg > 30 m/s within 15 s).
+    # consistent_entropy=True drops the stray γ so T(ρ_init,s_init) = T0
+    # exactly. Default False = faithful.
+    consistent_entropy: bool = False
     # isothermal files use cp = 7·R_gas/2 (isothermal_static_witch.jl:43 —
     # the universal constant, unlike current/ which uses R_mass);
     # adiabatic files use cp = 7·R_mass/2 (adiabatic_static_witch.jl:50)
@@ -210,9 +241,12 @@ def make_system(cfg: LegacyConfig) -> ParticleSystem:
         upd["theta"] = cfg.T0 * ((cfg.T0 * cfg.R_mass * cfg.rho0)
                                  / upd["P"]) ** (cfg.R_gas / cfg.cp)
         if cfg.adiabatic:
+            # faithful init carries a stray γ in the log denominator
+            # (adiabatic_static_witch.jl:85) — see consistent_entropy
+            gfac = 1.0 if cfg.consistent_entropy else cfg.gamma
             upd["S"] = upd["m"] * cfg.cv * np.log(
                 (cfg.cv * cfg.T0 * (cfg.gamma - 1))
-                / (cfg.gamma * rho ** (cfg.gamma - 1)))
+                / (gfac * rho ** (cfg.gamma - 1)))
         if cfg.flow and "v" not in imported:
             mob = (chunk["type"] == FLUID) | (chunk["type"] == INFLOW)
             upd["v"] = np.where(mob[:, None], [cfg.U_max, 0.0], 0.0)
@@ -264,9 +298,17 @@ def make_step(cfg: LegacyConfig, engine):
     dt, h0 = cfg.dt, cfg.h0
 
     def damping(y):
+        # faithful reference sponge (defective as committed — see
+        # LegacyConfig.true_rayleigh): constant magnitude above zₜ−zᵦ
         mag = cfg.gamma_r * jnp.sin(
             jnp.pi / 2 * (1 - (cfg.z_t - cfg.z_b) / cfg.z_b)) ** 2
         return jnp.where(y >= cfg.z_t - cfg.z_b, mag, 0.0)
+
+    def damping_gamma(y):
+        # corrected Rayleigh coefficient γ(z): the intended sin² ramp
+        # (0 at the sponge base, γᵣ at the domain top)
+        r = jnp.clip(1.0 - (cfg.z_t - y) / cfg.z_b, 0.0, 1.0)
+        return cfg.gamma_r * jnp.sin(jnp.pi / 2 * r) ** 2
 
     # --- isothermal closures (isothermal_static_witch.jl:118-160) ---
     def iso_balance_of_mass(p, q, r):
@@ -299,8 +341,20 @@ def make_step(cfg: LegacyConfig, engine):
 
     # --- adiabatic closures (adiabatic_static_witch.jl:130-164) ---
     def adia_find_density(p, q, r):
-        both = (p.type == FLUID) & (q.type == FLUID)
-        return {"rho": jnp.where(both, q.m * wendland2(h0, r), 0.0)}
+        # faithful: both-FLUID gate (adiabatic_static_witch.jl:134) — any
+        # type boundary becomes a density hole (half kernel support) and
+        # so a pressure hole that jets the adjacent fluid (measured: the
+        # OUTFLOW conversion front accelerates a whole column to >150
+        # m/s). The corrected open-boundary variant counts every
+        # neighbor's mass, the standard boundary-contribution treatment.
+        if cfg.outflow_buffer:
+            # OUTFLOW rows get a density sum too: a row converting this
+            # step was rho-reset while still FLUID (move!) and would
+            # otherwise carry rho=0 into the force's P/rho^2
+            ok = (p.type == FLUID) | (p.type == OUTFLOW)
+        else:
+            ok = (p.type == FLUID) & (q.type == FLUID)
+        return {"rho": jnp.where(ok, q.m * wendland2(h0, r), 0.0)}
 
     def adia_find_s(u):
         fl = u.type == FLUID
@@ -317,7 +371,11 @@ def make_step(cfg: LegacyConfig, engine):
         both = (p.type == FLUID) & (q.type == FLUID)
         ker = rDwendland2(h0, r)
         dux = jnp.sum((p.v - q.v) * (p.x - q.x), axis=-1)
-        dS = (-4.0 * p.m * q.m * ker * cfg.mu / (p.T * p.rho * q.rho)
+        # floors: inactive rows carry T=rho=0 and the masked-but-computed
+        # 0/0 NaN poisons the VPU fast path (and leaks through sums)
+        denom = (jnp.maximum(p.T, 1e-30) * jnp.maximum(p.rho, 1e-30)
+                 * jnp.maximum(q.rho, 1e-30))
+        dS = (-4.0 * p.m * q.m * ker * cfg.mu / denom
               * dux**2 / (r * r + 0.01 * h0 * h0) * dt)
         return {"S": jnp.where(both, dS, 0.0)}
 
@@ -339,20 +397,47 @@ def make_step(cfg: LegacyConfig, engine):
     def set_inflow_speed(u):
         v = jnp.stack([jnp.full_like(u.P, cfg.U_max),
                        jnp.zeros_like(u.P)], axis=-1)
-        return {"v": jnp.where((u.type == INFLOW)[:, None], v, u.v)}
+        pinned = u.type == INFLOW
+        if cfg.outflow_buffer:
+            # prescribed-flux open boundary: the buffer advects at exactly
+            # (U,0). Freezing conversion-time velocities instead lets the
+            # buffer act as a suction (measured: downstream u_mean grows
+            # 35→47 m/s with mean subsidence −5..−17 m/s)
+            pinned = pinned | (u.type == OUTFLOW)
+        return {"v": jnp.where(pinned[:, None], v, u.v)}
 
     def move(u):
         mob = (u.type == FLUID) | ((u.type == INFLOW) if cfg.flow else False)
+        if cfg.flow and cfg.outflow_buffer:
+            mob = mob | (u.type == OUTFLOW)  # frozen-v advection out
         upd = {"x": jnp.where(mob[:, None], u.x + dt * u.v, u.x),
                "Dv": jnp.zeros_like(u.Dv)}
         if cfg.adiabatic:  # static adiabatic resets rho in move! (:193)
             upd["rho"] = jnp.where(u.type == FLUID, 0.0, u.rho)
         return upd
 
+    def to_outflow(u):
+        # open-boundary buffer (cfg.outflow_buffer): FLUID entering the
+        # last w of the domain freezes into OUTFLOW — advected, neighbor-
+        # visible, force-skipped, deleted once outside the grid
+        x_out = cfg.dom_length / 2 - cfg.outflow_buffer
+        conv = (u.type == FLUID) & (u.x[:, 0] >= x_out)
+        return {"type": jnp.where(conv, OUTFLOW, u.type)}
+
     def accelerate(u):
         fl = (u.type == FLUID)[:, None]
-        acc = jnp.stack([u.Dv[:, 0],
-                         u.Dv[:, 1] - cfg.g - damping(u.x[:, 1])], axis=-1)
+        if cfg.true_rayleigh:
+            gam = damping_gamma(u.x[:, 1])
+            # relax toward the background wind (U_max, 0) in flow
+            # variants so the sponge doesn't fight the mean flow
+            vx_ref = cfg.U_max if cfg.flow else 0.0
+            acc = jnp.stack(
+                [u.Dv[:, 0] - gam * (u.v[:, 0] - vx_ref),
+                 u.Dv[:, 1] - cfg.g - gam * u.v[:, 1]], axis=-1)
+        else:  # faithful constant-force sponge (reference :213)
+            acc = jnp.stack([u.Dv[:, 0],
+                             u.Dv[:, 1] - cfg.g - damping(u.x[:, 1])],
+                            axis=-1)
         return {"v": jnp.where(fl, u.v + 0.5 * dt * acc, u.v)}
 
     def add_new_particles(state: ParticleState) -> ParticleState:
@@ -428,9 +513,10 @@ def make_step(cfg: LegacyConfig, engine):
             fields["T"] = f["T"].at[tgt_safe].set(
                 jnp.full(k, cfg.T0, f["T"].dtype), mode="drop")
             if cfg.adiabatic:
+                gfac = 1.0 if cfg.consistent_entropy else cfg.gamma
                 S = (rho * cfg.dr**2) * cfg.cv * jnp.log(
                     (cfg.cv * cfg.T0 * (cfg.gamma - 1))
-                    / (cfg.gamma * rho ** (cfg.gamma - 1)))
+                    / (gfac * rho ** (cfg.gamma - 1)))
                 fields["S"] = fields["S"].at[tgt_safe].set(S, mode="drop")
             return fields, active.at[tgt_safe].set(ok, mode="drop")
 
@@ -462,6 +548,8 @@ def make_step(cfg: LegacyConfig, engine):
             if cfg.max_spawn:  # max_spawn=0 disables recycling (ablation)
                 state = add_new_particles(state)
             state = apply_unary(state, set_inflow_speed)
+            if cfg.outflow_buffer:
+                state = apply_unary(state, to_outflow)
         state, nbrs = engine.rebuild(state)
         force_done = False
         if cfg.adiabatic:

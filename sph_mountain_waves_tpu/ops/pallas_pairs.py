@@ -883,10 +883,15 @@ def adia_density_pass(engine, state, cfg, interpret=False):
     """Both-FLUID-gated kernel summation Σ q.m·w(h, r) incl. the self term
     (find_density!, src/legacy/adiabatic_static_witch.jl:130-136). The
     q-side gate rides the streamed weight (m·[type==FLUID]); the caller
-    applies the p-side gate (walls keep their density)."""
+    applies the p-side gate (walls keep their density). The corrected
+    open-boundary variant (cfg.outflow_buffer, models/legacy_witch.py
+    adia_find_density) counts every neighbor's mass."""
     from types import SimpleNamespace
     f = state.fields
-    weight = f["m"] * (f["type"] == 0.0)  # legacy FLUID = 0.0
+    if getattr(cfg, "outflow_buffer", 0.0):
+        weight = f["m"]
+    else:
+        weight = f["m"] * (f["type"] == 0.0)  # legacy FLUID = 0.0
     return weighted_w_pass(engine, state, SimpleNamespace(self_density=True),
                            weight, ker_h="p", interpret=interpret)
 
