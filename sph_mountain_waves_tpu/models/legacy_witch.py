@@ -356,12 +356,22 @@ def make_step(cfg: LegacyConfig, engine):
             ok = (p.type == FLUID) & (q.type == FLUID)
         return {"rho": jnp.where(ok, q.m * wendland2(h0, r), 0.0)}
 
-    def adia_find_s(u):
+    def _eos_rows(u):
+        # rows whose density is recomputed by summation each step and whose
+        # thermodynamic state must follow: FLUID, plus the OUTFLOW buffer
+        # under the corrected open boundary (S frozen there — production is
+        # both-FLUID-gated — so T, P track the slowly-evolving rho)
         fl = u.type == FLUID
+        if cfg.flow and cfg.outflow_buffer:
+            fl = fl | (u.type == OUTFLOW)
+        return fl
+
+    def adia_find_s(u):
+        fl = _eos_rows(u)
         return {"s": jnp.where(fl, u.S * u.rho / jnp.maximum(u.m, 1e-30), u.s)}
 
     def adia_find_pressure(u):
-        fl = u.type == FLUID
+        fl = _eos_rows(u)
         T = (u.rho ** (cfg.gamma - 1.0)) * jnp.exp(
             u.s / jnp.maximum(u.rho, 1e-30) / cfg.cv) / (cfg.cv * (cfg.gamma - 1.0))
         T = jnp.where(fl, T, u.T)
@@ -413,7 +423,14 @@ def make_step(cfg: LegacyConfig, engine):
         upd = {"x": jnp.where(mob[:, None], u.x + dt * u.v, u.x),
                "Dv": jnp.zeros_like(u.Dv)}
         if cfg.adiabatic:  # static adiabatic resets rho in move! (:193)
-            upd["rho"] = jnp.where(u.type == FLUID, 0.0, u.rho)
+            reset = u.type == FLUID
+            if cfg.flow and cfg.outflow_buffer:
+                # OUTFLOW density is recomputed by summation each step just
+                # like FLUID (adia_find_density's p-gate) — without the
+                # reset the sum ACCUMULATES and the buffer's rho grows
+                # unboundedly, fading its force support
+                reset = reset | (u.type == OUTFLOW)
+            upd["rho"] = jnp.where(reset, 0.0, u.rho)
         return upd
 
     def to_outflow(u):
@@ -556,7 +573,11 @@ def make_step(cfg: LegacyConfig, engine):
             # adiabatic verlet (adiabatic_static_witch.jl:200-211)
             if use_pallas:
                 rho_add = adia_density_pass(engine, state, cfg)
-                fl = state.active & (state.fields["type"] == FLUID)
+                typ = state.fields["type"]
+                fl = typ == FLUID
+                if cfg.flow and cfg.outflow_buffer:
+                    fl = fl | (typ == OUTFLOW)  # match adia_find_density
+                fl = state.active & fl
                 state = state.replace(rho=jnp.where(
                     fl, state.fields["rho"] + rho_add, state.fields["rho"]))
             else:

@@ -287,17 +287,26 @@ def test_iso_static_step_pallas_matches_xla(interpret_kernels):
     np.testing.assert_allclose(outs[True], outs[False], rtol=2e-4)
 
 
-@pytest.mark.parametrize("flow", [False, True], ids=["static", "flow"])
-def test_adiabatic_step_pallas_matches_xla(interpret_kernels, flow):
+@pytest.mark.parametrize("flow,corrected", [
+    (False, False), (True, False), (True, True),
+], ids=["static", "flow", "flow_corrected"])
+def test_adiabatic_step_pallas_matches_xla(interpret_kernels, flow, corrected):
     """Adiabatic legacy schemes: gated density + fused entropy+force
     kernels against the apply_binary path; entropy production must agree
-    (it rides the fused sweep's both-FLUID gate)."""
+    (it rides the fused sweep's both-FLUID gate). flow_corrected runs the
+    corrected-physics bundle (the linear-drag configuration): ungated
+    density with the FLUID|OUTFLOW p-side, Rayleigh sponge, consistent
+    entropy — gates the Pallas path for quantitative drag runs."""
     from sph_mountain_waves_tpu.models import legacy_witch as lw
     factory = lw.adiabatic_flow_config if flow else lw.adiabatic_static_config
+    extra = {}
+    if corrected:
+        extra = dict(true_rayleigh=True, consistent_entropy=True,
+                     outflow_buffer=2 * 1.8 * (26e3 / 14))
     outs = {}
     for up in (False, True):
         cfg = factory(n_rows=14, dom_length=40e3, h_m=2000.0, a=6e3,
-                      dtype="float32", use_pallas=up)
+                      dtype="float32", use_pallas=up, **extra)
         sys_ = lw.make_system(cfg)
         sys_.freeze_opts.update(layout="bucket", skin=0.15)
         if flow:
