@@ -64,16 +64,32 @@ def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
           f"N={N_bv:.5f}  eps={N_bv*cfg.h_m/cfg.U_max:.3f}  "
           f"Na/U={N_bv*cfg.a/cfg.U_max:.2f}  D_lin={D_lin:.4g}", flush=True)
 
+    # Wave drag is measured as the vertical momentum flux -int rho u'w' dx
+    # through bands WELL ABOVE the floor (wave_momentum_flux docstring:
+    # the raw mountain-force sum is dominated by the lattice floor
+    # friction, ~650x the linear signal). Two bands, one lambda_z/2 apart,
+    # cross-check the theoretical z-independence below the sponge.
+    flux_lo = lw.wave_momentum_flux(cfg, z0=3e3, dz=1e3, tag="flux_lo")
+    flux_hi = lw.wave_momentum_flux(cfg, z0=6e3, dz=1e3, tag="flux_hi")
+
+    def diag(state):
+        return {**lw.mountain_force(state), **flux_lo(state),
+                **flux_hi(state)}
+
     t0 = time.time()
-    res = lw.run(cfg, verbose=verbose)
+    res = lw.run(cfg, verbose=verbose, extra_diag=diag)
     wall = time.time() - t0
 
     drag = np.asarray(res["drag"])
     k0 = int(len(drag) * (1 - avg_window))
-    D = float(np.mean(drag[k0:]))
+    D_sfc = float(np.mean(drag[k0:]))
+    D_lo = float(np.mean(np.asarray(res["flux_lo"])[k0:]))
+    D_hi = float(np.mean(np.asarray(res["flux_hi"])[k0:]))
+    D = 0.5 * (D_lo + D_hi)
     ratio = D / D_lin
     line = (f"RESULT linear_drag n={int(res['state'].n)} n_rows={n_rows} "
-            f"h_m={h_m} a={a} t_end={t_end} D={D:.4g} D_lin={D_lin:.4g} "
+            f"h_m={h_m} a={a} t_end={t_end} D_lo={D_lo:.4g} D_hi={D_hi:.4g} "
+            f"D_sfc={D_sfc:.4g} D_lin={D_lin:.4g} "
             f"ratio={ratio:.3f} wall={wall:.0f}s")
     print(line, flush=True)
     with open("/tmp/linear_drag.log", "a") as f:

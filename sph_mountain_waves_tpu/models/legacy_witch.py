@@ -656,9 +656,35 @@ def mountain_force(state: ParticleState) -> dict:
     return {"drag": F[0], "lift": F[1]}
 
 
+def wave_momentum_flux(cfg: LegacyConfig, z0: float, dz: float,
+                       tag: str = "wave_flux"):
+    """Per-frame wave-drag observable D(z₀) = −∫ρ u′w′ dx: the vertical
+    flux of horizontal momentum through the band |z − z₀| < dz/2
+    (Eliassen–Palm). For steady linear hydrostatic waves D(z₀) equals the
+    surface wave drag at every z₀ below dissipation, so a band placed a
+    few rows above the terrain reads the SAME number as the surface
+    integral while being immune to the lattice floor friction that
+    dominates Σ m·Dv over the flat parts of the MOUNTAIN row (the sliding
+    square lattice exerts a systematic streamwise "washboard" force ~650×
+    the linear signal at hₘ=300 m — TPU-measured round 3). In SPH the
+    band integral is Σ m·u′·w′ / dz over FLUID rows in the band."""
+    def diag(state: ParticleState) -> dict:
+        f = state.fields
+        y = f["x"][:, 1]
+        sel = (state.active & (f["type"] == FLUID)
+               & (y >= z0 - dz / 2) & (y < z0 + dz / 2))
+        up = f["v"][:, 0] - cfg.U_max
+        return {tag: -jnp.sum(jnp.where(sel, f["m"] * up * f["v"][:, 1],
+                                        0.0)) / dz}
+    return diag
+
+
 def run(cfg: LegacyConfig, out_path: str | None = None, verbose: bool = False,
-        packing: bool = False, capacity_factor: float = 1.3):
-    """Shared main loop for all four legacy schemes."""
+        packing: bool = False, capacity_factor: float = 1.3,
+        extra_diag=None):
+    """Shared main loop for all four legacy schemes. ``extra_diag``
+    overrides the default per-frame observable bundle (``mountain_force``);
+    use it to add wave_momentum_flux bands etc."""
     from .wcsph_perturbed_witch import _run_witch_scheme
 
     def setup(cfg_, engine, state):
@@ -678,7 +704,7 @@ def run(cfg: LegacyConfig, out_path: str | None = None, verbose: bool = False,
     return _run_witch_scheme(cfg, _make_system, make_step,
                              ("v", "P", "theta", "rho", "type"),
                              out_path, verbose, setup=setup,
-                             extra_diag=mountain_force)
+                             extra_diag=extra_diag or mountain_force)
 
 
 # named configurations mapping 1:1 to the reference files

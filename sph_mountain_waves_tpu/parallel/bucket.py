@@ -48,8 +48,9 @@ from ..ops.neighbors import (NeighborEngine, Neighbors,
 from ..structs import ParticleState
 
 __all__ = ["BucketDomainSharding", "BucketShardEngine",
-           "build_bucket_sharding", "shard_state_bucket",
-           "make_bucket_runner", "gather_state_bucket", "pick_slab_axis",
+           "build_bucket_sharding", "balanced_col_starts",
+           "shard_state_bucket", "make_bucket_runner",
+           "gather_state_bucket", "pick_slab_axis",
            "save_checkpoint_bucket", "load_checkpoint_bucket"]
 
 GHOST = 2  # ghost columns per side; also the boundary-band width exchanged
@@ -74,14 +75,36 @@ class BucketDomainSharding:
     ``slab_axis``: spatial axis the slabs cut (0=x, 1=y, 2=z). Per-device
     local-grid size along it is ``slab_w + 2·GHOST`` rounded up to the
     axis quantum — pick the axis where that rounding wastes least
-    (see _AXIS_QUANTUM)."""
+    (see _AXIS_QUANTUM).
+
+    ``col_starts`` (optional): load-balanced partition — n_dev+1 monotone
+    global column indices; device d owns columns [col_starts[d],
+    col_starts[d+1]). None (default) = uniform ``ceil(lims/n_dev)``-wide
+    slabs. With a variable partition the LOCAL grid is sized to the WIDEST
+    slab (SPMD: one program, one shape on every device) and each device's
+    owned band [GHOST, GHOST+w_d) is selected at runtime from per-device
+    tables indexed by ``lax.axis_index`` — empty padding columns sweep at
+    their dynamic trip count (~free). Since synchronous collectives make
+    the step time the MAX over devices, equal-particle slabs — not
+    equal-width ones — are what balance nonuniform workloads (a dam-break
+    column concentrates everything in a few devices' slabs)."""
     engine: NeighborEngine       # GLOBAL bucket engine (binning authority)
     n_dev: int
     slab_axis: int = 0
+    col_starts: tuple | None = None
 
     def __post_init__(self):
         assert self.engine.layout == "bucket", "bucket sharding needs bucket layout"
         assert 0 <= self.slab_axis < self.engine.dim
+        if self.col_starts is not None:
+            cs = np.asarray(self.col_starts)
+            assert len(cs) == self.n_dev + 1, "need n_dev+1 boundaries"
+            assert cs[0] == 0 and cs[-1] == self.engine.lims[self.slab_axis]
+            # ghost mirrors only reach ADJACENT devices: every owned band
+            # must be at least the ghost depth wide
+            assert np.diff(cs).min() >= GHOST, (
+                f"balanced partition has a slab narrower than the ghost "
+                f"depth {GHOST}: {tuple(np.diff(cs))}")
         # ghost mirrors are exchanged with ADJACENT devices only: the
         # 2-deep ghost band must fit inside one neighbor's owned width
         assert self.slab_w >= GHOST, (
@@ -91,7 +114,38 @@ class BucketDomainSharding:
 
     @property
     def slab_w(self) -> int:
+        """Owned width per device: uniform, or the WIDEST balanced slab
+        (the local grid must hold any device's band)."""
+        if self.col_starts is not None:
+            return int(np.diff(np.asarray(self.col_starts)).max())
         return -(-self.engine.lims[self.slab_axis] // self.n_dev)
+
+    # --- per-device partition tables (host numpy; jnp.asarray'd inside
+    # shard_map and indexed with lax.axis_index on the variable path)
+    @property
+    def starts_np(self) -> np.ndarray:
+        """[n_dev] int32: first owned global column of each device."""
+        if self.col_starts is not None:
+            return np.asarray(self.col_starts[:-1], dtype=np.int32)
+        return (np.arange(self.n_dev, dtype=np.int32)
+                * np.int32(self.slab_w))
+
+    @property
+    def widths_np(self) -> np.ndarray:
+        """[n_dev] int32: owned width of each device (uniform: the last
+        device's band may extend past the domain — harmless, those columns
+        do not exist)."""
+        if self.col_starts is not None:
+            return np.diff(np.asarray(self.col_starts)).astype(np.int32)
+        return np.full(self.n_dev, self.slab_w, dtype=np.int32)
+
+    def owner_of_cols(self, cols: np.ndarray) -> np.ndarray:
+        """Host-side owner device of global slab-axis columns."""
+        if self.col_starts is not None:
+            return np.clip(np.searchsorted(np.asarray(self.col_starts),
+                                           cols, side="right") - 1,
+                           0, self.n_dev - 1)
+        return np.clip(cols // self.slab_w, 0, self.n_dev - 1)
 
     @property
     def local_lims(self) -> tuple:
@@ -135,19 +189,65 @@ class BucketDomainSharding:
 
     @property
     def owned_col_mask(self) -> np.ndarray:
-        """[local_n_axis] bool: slab-axis planes owned by this device (same
-        on every device; the last device simply has empty planes past the
-        domain)."""
+        """[local_n_axis] bool: slab-axis planes owned by a device (uniform
+        partition: same on every device; the last device simply has empty
+        planes past the domain)."""
+        return self.owned_col_mask_dev(0)
+
+    def owned_col_mask_dev(self, d: int) -> np.ndarray:
+        """[local_n_axis] bool: slab-axis planes owned by device ``d``
+        (host-side; the owned band always starts at local column GHOST,
+        only its width varies under a balanced partition)."""
         m = np.zeros(self.local_lims[self.slab_axis], dtype=bool)
-        m[GHOST:GHOST + self.slab_w] = True
+        m[GHOST:GHOST + int(self.widths_np[d])] = True
         return m
 
 
-def build_bucket_sharding(sys, n_dev: int,
-                          slab_axis: int = 0) -> BucketDomainSharding:
+def balanced_col_starts(sys, n_dev: int, slab_axis: int = 0,
+                        host_x=None) -> tuple:
+    """Equal-PARTICLE slab boundaries from the build-time column histogram
+    (n_dev+1 monotone global column indices; each owned band ≥ GHOST wide).
+    Step time under synchronous collectives is the max over devices, so for
+    nonuniform workloads (a dam-break column, a collapsing blob) this — not
+    equal widths — is what balances the fleet. The partition is static; to
+    REbalance a long run whose distribution has drifted, round-trip through
+    the compact checkpoint (save_checkpoint_bucket →
+    shard_state_bucket(host=...) with fresh boundaries — it re-places rows
+    by position on any partition)."""
+    g = sys.engine
+    x = np.asarray(host_x if host_x is not None else sys.host_fields()["x"],
+                   dtype=np.float64)
+    L = g.cell_size
+    cols = (np.floor(x[:, :g.dim] / np.asarray(L)).astype(np.int64)
+            - np.asarray(g.phase))[:, slab_axis]
+    n_cols = int(g.lims[slab_axis])
+    assert n_cols >= GHOST * n_dev, (
+        f"{n_dev} devices need ≥ {GHOST * n_dev} columns, grid has {n_cols}")
+    counts = np.bincount(np.clip(cols, 0, n_cols - 1), minlength=n_cols)
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    starts = [0]
+    for d in range(1, n_dev):
+        b = int(np.searchsorted(cum, d * total / n_dev))
+        starts.append(int(np.clip(b, starts[-1] + GHOST,
+                                  n_cols - GHOST * (n_dev - d))))
+    starts.append(n_cols)
+    return tuple(starts)
+
+
+def build_bucket_sharding(sys, n_dev: int, slab_axis: int = 0,
+                          balance: bool = False,
+                          col_starts: tuple | None = None
+                          ) -> BucketDomainSharding:
+    """``balance=True`` chooses equal-particle slab boundaries from the
+    built particles (``balanced_col_starts``); ``col_starts`` passes an
+    explicit partition (e.g. re-derived at restore time). Default: uniform
+    equal-width slabs."""
     assert sys.engine is not None, "freeze() the system first"
+    if balance and col_starts is None:
+        col_starts = balanced_col_starts(sys, n_dev, slab_axis)
     return BucketDomainSharding(engine=sys.engine, n_dev=n_dev,
-                                slab_axis=slab_axis)
+                                slab_axis=slab_axis, col_starts=col_starts)
 
 
 def pick_slab_axis(engine, n_dev: int) -> int:
@@ -181,18 +281,20 @@ def _slab_coord_of_cell(bds: BucketDomainSharding, n: int) -> np.ndarray:
     return (np.arange(n, dtype=np.int64) // stride) % eng.lims[a]
 
 
-def _owned_mask_flat(bds: BucketDomainSharding) -> np.ndarray:
-    """[slots_local] bool: slots in owned slab-axis planes (static)."""
+def _owned_mask_flat(bds: BucketDomainSharding, d: int = 0) -> np.ndarray:
+    """[slots_local] bool: device ``d``'s slots in owned slab-axis planes
+    (host-side static; uniform partitions are device-independent)."""
     eng = bds.local_engine
     C = eng.num_cells
-    owned_cell = bds.owned_col_mask[_slab_coord_of_cell(bds, C + 1)]
+    owned_cell = bds.owned_col_mask_dev(d)[_slab_coord_of_cell(bds, C + 1)]
     owned_cell[C] = False  # trash column is never owned
     return np.tile(owned_cell, eng.cap)
 
 
-def _owned_cell_mask(bds: BucketDomainSharding) -> np.ndarray:
+def _owned_cell_mask(bds: BucketDomainSharding, d: int = 0) -> np.ndarray:
     """[num_cells_local] bool: cells in owned slab-axis planes (static)."""
-    return bds.owned_col_mask[_slab_coord_of_cell(bds, bds.local_engine.num_cells)]
+    return bds.owned_col_mask_dev(d)[
+        _slab_coord_of_cell(bds, bds.local_engine.num_cells)]
 
 
 def shard_state_bucket(bds: BucketDomainSharding, sys,
@@ -216,7 +318,7 @@ def shard_state_bucket(bds: BucketDomainSharding, sys,
     cg = np.floor(x[:, :dim] / L).astype(np.int64) - np.asarray(g.phase)
     cg = np.clip(cg, 0, np.asarray(g.lims) - 1)
     sa = bds.slab_axis
-    dev = np.clip(cg[:, sa] // bds.slab_w, 0, bds.n_dev - 1)
+    dev = bds.owner_of_cols(cg[:, sa])
 
     nx_l, C_l, cap = eng.lims[0], eng.num_cells, eng.cap
     slots = eng.slots
@@ -232,7 +334,7 @@ def shard_state_bucket(bds: BucketDomainSharding, sys,
     for d in range(bds.n_dev):
         rows = np.where(dev == d)[0]
         cl = cg[rows].copy()
-        cl[:, sa] = cl[:, sa] - (d * bds.slab_w - GHOST)
+        cl[:, sa] = cl[:, sa] - (int(bds.starts_np[d]) - GHOST)
         key = cl[:, 0]
         stride = nx_l
         for a in range(1, dim):
@@ -267,7 +369,8 @@ def gather_state_bucket(bds: BucketDomainSharding,
     is a host ParticleState directly consumable by ``io.save_frame`` /
     ``utils.checkpoint.save_checkpoint`` (each particle appears once —
     ghost copies are the only duplicates in the sharded layout)."""
-    owned = np.tile(_owned_mask_flat(bds), bds.n_dev)
+    owned = np.concatenate([_owned_mask_flat(bds, d)
+                            for d in range(bds.n_dev)])
     fields = {k: np.asarray(jax.device_get(v))
               for k, v in state.fields.items()}
     active = np.asarray(jax.device_get(state.active)) & owned
@@ -358,7 +461,9 @@ def _take_cols(ax, G, c0, w):
 
 
 def _put_cols(ax, G, block, c0):
-    idx = [0] * G.ndim
+    # traced c0 (balanced partition): every index must share its dtype
+    zero = jnp.zeros((), c0.dtype) if isinstance(c0, jnp.ndarray) else 0
+    idx = [zero] * G.ndim
     idx[ax] = c0
     return jax.lax.dynamic_update_slice(G, block.astype(G.dtype), tuple(idx))
 
@@ -451,21 +556,40 @@ class BucketShardEngine:
     def stencil_candidates(self, nbrs, offset):
         return self._eng.stencil_candidates(nbrs, offset)
 
+    # ---- per-device partition values (traced when balanced)
+    def _dev_start_w(self):
+        """(start, w): this device's first owned GLOBAL column and its
+        owned width. ``start`` is always traced (axis_index arithmetic);
+        ``w`` is a Python int on the uniform path and an axis_index-
+        selected traced scalar under a balanced (variable-width)
+        partition."""
+        bds = self.bds
+        d = jax.lax.axis_index(self.axis)
+        if bds.col_starts is None:
+            return d * bds.slab_w, bds.slab_w
+        return (jnp.asarray(bds.starts_np)[d],
+                jnp.asarray(bds.widths_np)[d])
+
     # ------------------------------------------------------------ exchange
     def _exchange_blocks(self, tree: dict, send_w: int):
         """ppermute the outermost ``send_w`` OWNED columns each way.
         Returns (recv_from_left, recv_from_right) column-block trees; edge
         devices receive zeros."""
         eng = self._eng
-        sw = self.bds.slab_w
         ax = self.bds.grid_axis
         n_dev = self.bds.n_dev
         right_perm = [(i, i + 1) for i in range(n_dev - 1)]
         left_perm = [(i + 1, i) for i in range(n_dev - 1)]
 
         views = {k: _col_view(eng, v) for k, v in tree.items()}
-        send_r = {k: _take_cols(ax, v, GHOST + sw - send_w, send_w)
-                  for k, v in views.items()}
+        _, w = self._dev_start_w()
+        if isinstance(w, int):  # uniform: static slice
+            send_r = {k: _take_cols(ax, v, GHOST + w - send_w, send_w)
+                      for k, v in views.items()}
+        else:  # balanced: the owned band's right edge varies per device
+            send_r = {k: jax.lax.dynamic_slice_in_dim(
+                          v, GHOST + w - send_w, send_w, axis=ax)
+                      for k, v in views.items()}
         send_l = {k: _take_cols(ax, v, GHOST, send_w)
                   for k, v in views.items()}
         recv_from_left = jax.tree.map(
@@ -487,9 +611,10 @@ class BucketShardEngine:
         eng = self._eng
         ax = self.bds.grid_axis
         trash = self.resident(flat)[:, eng.num_cells]
+        _, w = self._dev_start_w()
         G = _col_view(eng, flat)
         G = _put_cols(ax, G, block_l, 0)
-        G = _put_cols(ax, G, block_r, GHOST + self.bds.slab_w)
+        G = _put_cols(ax, G, block_r, GHOST + w)  # traced pos if balanced
         return _from_col_view(eng, G, trash)
 
     def refresh_ghost_vector(self, vec: jnp.ndarray) -> jnp.ndarray:
@@ -502,11 +627,32 @@ class BucketShardEngine:
         return self._splice_ghosts(vec, recv_l["v"], recv_r["v"])
 
     @property
-    def owned_flat(self) -> np.ndarray:
+    def owned_flat(self):
         """[slots_local] bool: slots whose slab-axis plane this device owns
         (ghost copies excluded) — the vector space for distributed solves
-        and psum diagnostics."""
-        return _owned_mask_flat(self.bds)
+        and psum diagnostics. Static numpy on the uniform partition; under
+        a balanced partition a traced mask built from this device's width
+        (valid only inside shard_map, which is the only place it is
+        consulted)."""
+        if self.bds.col_starts is None:
+            return _owned_mask_flat(self.bds)
+        eng = self._eng
+        _, w = self._dev_start_w()
+        col = jnp.asarray(
+            _slab_coord_of_cell(self.bds, eng.num_cells + 1))
+        owned_cell = (col >= GHOST) & (col < GHOST + w)
+        owned_cell = owned_cell.at[eng.num_cells].set(False)  # trash col
+        return jnp.tile(owned_cell, eng.cap)
+
+    def _owned_cells(self):
+        """[num_cells_local] bool owned-cell mask (traced when balanced) —
+        the drop-accounting restriction for the stencil rescatter."""
+        if self.bds.col_starts is None:
+            return jnp.asarray(_owned_cell_mask(self.bds))
+        eng = self._eng
+        _, w = self._dev_start_w()
+        col = jnp.asarray(_slab_coord_of_cell(self.bds, eng.num_cells))
+        return (col >= GHOST) & (col < GHOST + w)
 
     def _refresh_ghosts(self, state: ParticleState) -> ParticleState:
         """Mirror the neighbors' boundary owned columns into my ghost
@@ -547,9 +693,10 @@ class BucketShardEngine:
         ok = active & jnp.where(finite, inside, False)
 
         sa = self.bds.slab_axis
-        cl = cg.at[:, sa].add(-(d * self.bds.slab_w - GHOST))
-        in_local = (cl[:, sa] >= 0) & (cl[:, sa] < self.bds.slab_w + 2 * GHOST)
-        owned_col = (cl[:, sa] >= GHOST) & (cl[:, sa] < GHOST + self.bds.slab_w)
+        start, w = self._dev_start_w()
+        cl = cg.at[:, sa].add(-(start - GHOST))
+        in_local = (cl[:, sa] >= 0) & (cl[:, sa] < w + 2 * GHOST)
+        owned_col = (cl[:, sa] >= GHOST) & (cl[:, sa] < GHOST + w)
         cl = jnp.clip(cl, 0, jnp.asarray(eng.lims, dtype=jnp.int32) - 1)
         key = jnp.where(ok & in_local, eng.flat_key(cl), eng.num_cells)
         return key.astype(jnp.int32), ok, owned_col
@@ -560,7 +707,7 @@ class BucketShardEngine:
         ghosts. Returns (state, n_dropped_by_overflow_or_escape)."""
         eng = self._eng
         C, cap = eng.num_cells, eng.cap
-        owned_flat = jnp.asarray(_owned_mask_flat(self.bds))
+        owned_flat = jnp.asarray(self.owned_flat)
 
         # 1. fresh copies of neighbor boundary particles (migrant source)
         tree = self._exchange_tree(state)
@@ -626,13 +773,13 @@ class BucketShardEngine:
         (see NeighborEngine.rescatter_mode)."""
         eng = self._eng
         C = eng.num_cells
-        owned_flat = jnp.asarray(_owned_mask_flat(self.bds))
+        owned_flat = jnp.asarray(self.owned_flat)
         state = self._refresh_ghosts(state)
         key, ok, _owned_col = self._local_keys(state.fields["x"],
                                                state.active)
         lost = jnp.sum(state.active & owned_flat & (key == C))
         new_state, dropped = eng._stencil_compact(
-            state, key, count_cells=jnp.asarray(_owned_cell_mask(self.bds)))
+            state, key, count_cells=self._owned_cells())
         new_state = self._refresh_ghosts(new_state)
         return new_state, (dropped + lost).astype(jnp.int32)
 
@@ -640,7 +787,7 @@ class BucketShardEngine:
     def rebuild(self, state: ParticleState) -> tuple[ParticleState, Neighbors]:
         eng = self._eng
         C, cap = eng.num_cells, eng.cap
-        owned_flat = jnp.asarray(_owned_mask_flat(self.bds))
+        owned_flat = jnp.asarray(self.owned_flat)
 
         x = state.fields["x"]
         d2 = jnp.sum((x - state.fields["_xref"]) ** 2, axis=-1)
@@ -684,7 +831,6 @@ def make_bucket_runner(bds: BucketDomainSharding, mesh: Mesh, make_step,
     seng = BucketShardEngine(bds)
     step = make_step(seng)
     spec = P("x")
-    owned_np = _owned_mask_flat(bds)
 
     # check_vma=False: pallas_call outputs carry no varying-manual-axes
     # annotation, which the checker would otherwise reject inside shard_map
@@ -703,7 +849,7 @@ def make_bucket_runner(bds: BucketDomainSharding, mesh: Mesh, make_step,
     @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
              out_specs=(P(), P(), P()))
     def _diag(state: ParticleState):
-        owned = jnp.asarray(owned_np) & state.active
+        owned = jnp.asarray(seng.owned_flat) & state.active
         v = jnp.sqrt(jnp.sum(state.fields["v"] ** 2, axis=-1))
         s = jax.lax.psum(jnp.sum(jnp.where(owned, v, 0)), "x")
         n = jax.lax.psum(jnp.sum(owned), "x")

@@ -167,6 +167,60 @@ def test_bucket_sharded_migration_conserves(rescatter_mode, slab_axis):
     assert int(n) == 500
 
 
+def test_bucket_sharded_balanced_slabs_dam_break():
+    """Load-balanced (variable-width) slab partition: the dam-break boot
+    state concentrates most particles in the left quarter of the box, so
+    equal-WIDTH slabs idle most devices (step time = max over devices under
+    synchronous collectives). ``balance=True`` picks equal-PARTICLE column
+    boundaries; the balanced run must (a) reproduce the single-device
+    trajectory, (b) conserve particles through migration, (c) split
+    ownership measurably more evenly than the uniform partition."""
+    from sph_mountain_waves_tpu.models import collapse_dry as cd
+    from sph_mountain_waves_tpu.parallel.bucket import (
+        _owned_mask_flat, build_bucket_sharding, make_bucket_runner,
+        shard_state_bucket)
+
+    n_dev = 4
+    cfg = cd.Config(dr=0.04, dtype="float64", layout="bucket", skin=0.3)
+    sys1 = cd.make_system(cfg)
+    st1 = sys1.freeze()
+    step1, init1 = cd.make_step(cfg, sys1.engine)
+    st1 = jax.jit(init1)(st1)
+    step1 = jax.jit(step1)
+    for _ in range(10):
+        st1 = step1(st1)
+    u1 = [float(v) for v in velocity_diagnostics(st1)]
+
+    sys2 = cd.make_system(cfg)
+    sys2.freeze(layout="bucket", skin=0.3)
+    mesh = make_mesh(n_dev)
+    bds = build_bucket_sharding(sys2, n_dev, balance=True)
+    widths = np.diff(np.asarray(bds.col_starts))
+    assert widths.min() >= 2 and widths.max() > widths.min()  # truly variable
+    state = shard_state_bucket(bds, sys2, mesh)
+
+    def owned_counts(bds_, st):
+        act = np.asarray(jax.device_get(st.active)).reshape(bds_.n_dev, -1)
+        return np.array([(act[d] & _owned_mask_flat(bds_, d)).sum()
+                         for d in range(bds_.n_dev)])
+
+    # ownership balance: equal-particle boundaries vs equal-width ones
+    bds_u = build_bucket_sharding(sys2, n_dev)
+    state_u = shard_state_bucket(bds_u, sys2, mesh)
+    cb, cu = owned_counts(bds, state), owned_counts(bds_u, state_u)
+    assert cb.sum() == cu.sum() == sys2.n_built
+    assert cb.max() / cb.sum() < 0.55 * cu.max() / cu.sum()  # measured ~0.3 vs ~0.9
+
+    init_frame, _ = make_bucket_runner(
+        bds, mesh, lambda e: cd.make_step(cfg, e)[1], steps_per_frame=1)
+    run_frame, diag = make_bucket_runner(
+        bds, mesh, lambda e: cd.make_step(cfg, e)[0], steps_per_frame=10)
+    state = run_frame(init_frame(state))
+    ua, um, n = diag(state)
+    assert int(n) == sys2.n_built
+    np.testing.assert_allclose([float(ua), float(um)], u1, rtol=1e-10)
+
+
 def test_bucket_sharded_rayleigh_benard_matches_single_device():
     """The bucket runner is scheme-generic: the Rayleigh-Bénard step (two
     rebuilds per step, thermal fields) must reproduce its single-device run
