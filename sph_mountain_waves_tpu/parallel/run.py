@@ -85,6 +85,7 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
                              model=None,
                              checkpoint_every: int | None = None,
                              resume: str | None = None,
+                             balance: bool = False,
                              verbose: bool = False):
     """Production multi-chip mountain-wave run: the slab-local bucket
     decomposition (parallel/bucket.py — per-device memory ∝ 1/n_dev, Pallas
@@ -106,7 +107,13 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
     ``resume``: path of a checkpoint to restart from; the saved rows
     replace the boot state (setup hooks are NOT re-run — their effect is
     already in the checkpoint) and frame/time counters continue from the
-    saved step."""
+    saved step.
+
+    ``balance``: equal-PARTICLE slab boundaries instead of equal-width
+    ones (parallel/bucket.py balanced_col_starts) — step time under
+    synchronous collectives is the max over devices, so this is the lever
+    for nonuniform workloads. Chosen from the rows actually sharded, so
+    ``resume`` + ``balance`` REBALANCES a drifted run."""
     from .bucket import (build_bucket_sharding, gather_state_bucket,
                          load_checkpoint_bucket, make_bucket_runner,
                          save_checkpoint_bucket, shard_state_bucket)
@@ -123,7 +130,6 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
     if slab_axis is None:
         from .bucket import pick_slab_axis
         slab_axis = pick_slab_axis(sys.engine, n_dev)
-    bds = build_bucket_sharding(sys, n_dev, slab_axis=slab_axis)
     host = None
     k0 = 0
     if resume is not None:
@@ -138,6 +144,17 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
         act = np.asarray(jax.device_get(st0.active))
         host = {k: np.asarray(jax.device_get(v))[act]
                 for k, v in st0.fields.items() if k != "_xref"}
+    # the partition is chosen from the rows actually being sharded (resume
+    # rows / setup-transformed rows), so a resumed run REBALANCES to the
+    # drifted distribution — the compact checkpoint is the rebalance path
+    col_starts = None
+    if balance:
+        from .bucket import balanced_col_starts
+        col_starts = balanced_col_starts(
+            sys, n_dev, slab_axis,
+            host_x=host["x"] if host is not None else None)
+    bds = build_bucket_sharding(sys, n_dev, slab_axis=slab_axis,
+                                col_starts=col_starts)
     state = shard_state_bucket(bds, sys, mesh, host=host)
 
     if steps_per_frame is None:
