@@ -140,6 +140,50 @@ def test_outflow_buffer_conversion_and_freeze():
     assert np.isfinite(out["u_avg"]).all()
 
 
+def test_wave_momentum_flux_reads_linear_drag():
+    """Quantitative gate of the wave-drag observable: sample the ANALYTIC
+    linear hydrostatic witch-of-Agnesi solution (uniform U, N; Boussinesq)
+    ζ(x,z) = hₘ·a·(a·cos mz − x·sin mz)/(a²+x²), m = N/U, with
+    w′ = U·ζₓ and u′ = −U·ζ_z, on a particle lattice; the band integral
+    −Σ m·u′w′/dz must recover the closed form D = (π/4)·ρ·N·U·hₘ²
+    at ANY band height (Eliassen–Palm flux is z-independent below
+    dissipation). This is the observable the TPU linear-drag run gates the
+    end-to-end physics with (scripts/linear_drag.py)."""
+    import jax.numpy as jnp
+    from sph_mountain_waves_tpu.structs import ParticleState
+
+    U, N_bv, h_m, a, rho = 20.0, 0.02, 300.0, 5e3, 1.0
+    m_w = N_bv / U
+    dr = 100.0
+    X = 50 * a
+    xs = np.arange(-X, X, dr) + 0.5 * dr
+    z0, n_band = 4000.0, 4
+    zs = z0 + (np.arange(n_band) - (n_band - 1) / 2) * dr
+    xx, zz = np.meshgrid(xs, zs)
+    denom = a**2 + xx**2
+    zeta_x = h_m * a * (-np.sin(m_w * zz) * denom
+                        - 2 * xx * (a * np.cos(m_w * zz)
+                                    - xx * np.sin(m_w * zz))) / denom**2
+    zeta_z = h_m * a * m_w * (-a * np.sin(m_w * zz)
+                              - xx * np.cos(m_w * zz)) / denom
+    up = -U * zeta_z
+    wp = U * zeta_x
+    n = xx.size
+    fields = {
+        "x": jnp.asarray(np.stack([xx.ravel(), zz.ravel()], -1)),
+        "v": jnp.asarray(np.stack([U + up.ravel(), wp.ravel()], -1)),
+        "m": jnp.full(n, rho * dr * dr),
+        "type": jnp.zeros(n),
+    }
+    state = ParticleState(fields=fields, active=jnp.ones(n, bool))
+
+    cfg = lw.LegacyConfig(U_max=U, flow=True)
+    D_lin = (np.pi / 4) * rho * N_bv * U * h_m**2
+    diag = lw.wave_momentum_flux(cfg, z0=z0, dz=n_band * dr)
+    D = float(diag(state)["wave_flux"])
+    np.testing.assert_allclose(D, D_lin, rtol=0.05)
+
+
 def test_adiabatic_mass_expansion():
     cfg = am.Config(dr=0.04, t_end=0.4, n_frames=8)
     out = am.run(cfg)
