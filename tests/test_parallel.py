@@ -439,6 +439,17 @@ def test_bucket_sharded_checkpoint_resume(tmp_path):
                                [full["u_avg"][-1], full["u_max"][-1]],
                                rtol=1e-10)
 
+    # rebalance-on-resume: restoring under the equal-particle partition
+    # (boundaries re-derived from the CHECKPOINTED rows) is the production
+    # rebalancing path and must reproduce the same trajectory
+    res_b = run_sharded_witch_bucket(cfg, n_dev=8, n_frames=2,
+                                     steps_per_frame=5, resume=ckpt,
+                                     balance=True)
+    assert res_b["n"][-1] == full["n"][-1]
+    np.testing.assert_allclose([res_b["u_avg"][-1], res_b["u_max"][-1]],
+                               [full["u_avg"][-1], full["u_max"][-1]],
+                               rtol=1e-10)
+
 
 def test_bucket_sharded_flow_spawn_conserves():
     """Dynamic-N flow scheme (inflow recycling) under the slab
