@@ -53,6 +53,10 @@ def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
         # unusable (sponge body force / entropy-init imbalance /
         # boundary suction). CPU-piloted: u_avg holds ~U steadily.
         true_rayleigh=True, consistent_entropy=True,
+        # absorbing sponge: γ_max = N/2 ramped over z_b = 8 km ≈ 1.25·λ_z
+        # (the default γᵣ = 10·N_bv ≈ 70·N is a reflecting lid — measured
+        # flux −D_lin with resonant u_max aloft, round 3)
+        sponge_gamma=0.5 * 9.81 / float(np.sqrt(7 * 287.05 / 2 * 250.0)),
         # gentle linear-regime winds (u ~ U = 20 m/s, no blocked-flow
         # plumes): lattice 2dr cells (cap 8) are the optimum — the drift
         # budget still buys ~70 steps between rescatters

@@ -111,6 +111,14 @@ class LegacyConfig:
     # damping −γ(z)·v with the intended sin² ramp in z — required for any
     # quantitative wave observable (the linear drag gate uses it).
     true_rayleigh: bool = False
+    # Corrected-sponge strength γ_max (s⁻¹; None = the reference's γᵣ =
+    # 10·N_bv). γᵣ is ~70× the buoyancy frequency — a Rayleigh layer that
+    # stiff acts as a RIGID LID (the wave meets γ ≈ N within the first
+    # ~0.6 km of the 8 km ramp) and REFLECTS: the round-3 linear-drag run
+    # measured the momentum flux at −D_lin (downward-radiating standing
+    # component) with resonant u_max ≈ 110 m/s aloft. An absorbing sponge
+    # wants γ_max ~ N/2 ramped over ≥ a vertical wavelength.
+    sponge_gamma: float | None = None
     # Open right boundary. The reference deletes its OUTFLOW region at
     # init and never re-creates it (isothermal_flow_witch.jl:114), so the
     # rightmost fluid column has one-sided kernel support — a sustained
@@ -306,9 +314,11 @@ def make_step(cfg: LegacyConfig, engine):
 
     def damping_gamma(y):
         # corrected Rayleigh coefficient γ(z): the intended sin² ramp
-        # (0 at the sponge base, γᵣ at the domain top)
+        # (0 at the sponge base, γ_max at the domain top; see
+        # LegacyConfig.sponge_gamma for why γ_max must be ~N, not 10·N)
+        gmax = cfg.gamma_r if cfg.sponge_gamma is None else cfg.sponge_gamma
         r = jnp.clip(1.0 - (cfg.z_t - y) / cfg.z_b, 0.0, 1.0)
-        return cfg.gamma_r * jnp.sin(jnp.pi / 2 * r) ** 2
+        return gmax * jnp.sin(jnp.pi / 2 * r) ** 2
 
     # --- isothermal closures (isothermal_static_witch.jl:118-160) ---
     def iso_balance_of_mass(p, q, r):
