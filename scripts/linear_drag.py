@@ -73,8 +73,10 @@ def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
     # the raw mountain-force sum is dominated by the lattice floor
     # friction, ~650x the linear signal). Two bands, one lambda_z/2 apart,
     # cross-check the theoretical z-independence below the sponge.
-    flux_lo = lw.wave_momentum_flux(cfg, z0=3e3, dz=1e3, tag="flux_lo")
-    flux_hi = lw.wave_momentum_flux(cfg, z0=6e3, dz=1e3, tag="flux_hi")
+    flux_lo = lw.wave_momentum_flux(cfg, z0=3e3, dz=1e3, tag="flux_lo",
+                                    x_window=3 * a)
+    flux_hi = lw.wave_momentum_flux(cfg, z0=6e3, dz=1e3, tag="flux_hi",
+                                    x_window=3 * a)
 
     def diag(state):
         return {**lw.mountain_force(state), **flux_lo(state),

@@ -182,6 +182,10 @@ def test_wave_momentum_flux_reads_linear_drag():
     diag = lw.wave_momentum_flux(cfg, z0=z0, dz=n_band * dr)
     D = float(diag(state)["wave_flux"])
     np.testing.assert_allclose(D, D_lin, rtol=0.05)
+    # the noise-cutting 3a x-window keeps ≤ ~5% truncation bias
+    diag_w = lw.wave_momentum_flux(cfg, z0=z0, dz=n_band * dr, x_window=3 * a)
+    np.testing.assert_allclose(float(diag_w(state)["wave_flux"]), D_lin,
+                               rtol=0.10)
 
 
 def test_adiabatic_mass_expansion():
