@@ -37,7 +37,7 @@ sys.path.insert(0, "/root/repo")
 
 
 def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
-        h_m=300.0, a=5e3, avg_window=0.2):
+        h_m=300.0, a=5e3, avg_window=0.2, av_alpha=0.0):
     from sph_mountain_waves_tpu.models import legacy_witch as lw
 
     # true_rayleigh: the reference's as-committed sponge is a constant
@@ -61,6 +61,12 @@ def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
         # plumes): lattice 2dr cells (cap 8) are the optimum — the drift
         # budget still buys ~70 steps between rescatters
         lattice_cells=True,
+        # noise control (round-3 result: the no-AV run's per-frame flux
+        # noise is σ ≈ 2.6·D_lin — floor-regenerated lattice-scale eddies).
+        # ν_AV ≈ α·c·h0/8: at α = 0.05, lattice noise (k ~ π/dr) damps in
+        # ~3 s while the wave (k_z = N/U) loses ~e^(−0.26) of amplitude
+        # over its 750 s climb to the z = 3 km band.
+        av_alpha=av_alpha,
         outflow_buffer=6.0 * 1.8 * (20e3 / n_rows))
     N_bv = cfg.g / float(np.sqrt(cfg.cp * cfg.T0))     # adiabatic scheme N
     D_lin = (np.pi / 4) * cfg.rho0 * N_bv * cfg.U_max * cfg.h_m**2
@@ -94,7 +100,8 @@ def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
     D = 0.5 * (D_lo + D_hi)
     ratio = D / D_lin
     line = (f"RESULT linear_drag n={int(res['state'].n)} n_rows={n_rows} "
-            f"h_m={h_m} a={a} t_end={t_end} D_lo={D_lo:.4g} D_hi={D_hi:.4g} "
+            f"h_m={h_m} a={a} t_end={t_end} av={av_alpha} "
+            f"D_lo={D_lo:.4g} D_hi={D_hi:.4g} "
             f"D_sfc={D_sfc:.4g} D_lin={D_lin:.4g} "
             f"ratio={ratio:.3f} wall={wall:.0f}s")
     print(line, flush=True)

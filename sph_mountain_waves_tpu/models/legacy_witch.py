@@ -140,6 +140,18 @@ class LegacyConfig:
     # consistent_entropy=True drops the stray γ so T(ρ_init,s_init) = T0
     # exactly. Default False = faithful.
     consistent_entropy: bool = False
+    # Monaghan artificial viscosity (α, β=2α, ε=0.01 form — the same
+    # closure the current/ witch schemes carry, witch_common.py
+    # monaghan_viscosity) added to internal_force. The legacy schemes have
+    # NO AV as committed (only physical μ = 1.6e-5 Pa·s), so an impulsive
+    # start leaves lattice-scale eddies (u′ ~ 100 m/s) that the floor
+    # regenerates continuously — per-frame wave-flux noise σ ≈ 2.6·D_lin
+    # at the linear-drag config (TPU round 3). AV damping scales as
+    # ν_AV·k² with ν_AV ≈ α·c·h0/8: lattice noise (k ~ π/dr) dies in
+    # seconds at α = 0.02–0.05 while the mountain wave (k_z = N/U, λ_z ≫
+    # h0) loses only ~e^(−ν k_z² z/c_gz) over its climb to the flux bands
+    # — choose α from that separation. 0 = off (faithful).
+    av_alpha: float = 0.0
     # isothermal files use cp = 7·R_gas/2 (isothermal_static_witch.jl:43 —
     # the universal constant, unlike current/ which uses R_mass);
     # adiabatic files use cp = 7·R_mass/2 (adiabatic_static_witch.jl:50)
@@ -175,6 +187,15 @@ class LegacyConfig:
     @property
     def gamma_r(self) -> float:
         return 10 * self.N_bv
+
+    @property
+    def c_av(self) -> float:
+        """Signal speed for the av_alpha Monaghan viscosity: the scheme's
+        EOS sound speed at the background temperature (isothermal
+        c² = R·T0, adiabatic c² = γ·R·T0) — a compile-time constant, so
+        the Pallas kernels don't stream a per-particle c."""
+        fac = self.gamma if self.adiabatic else 1.0
+        return float(np.sqrt(fac * self.R_mass * self.T0))
 
     @property
     def z_t(self) -> float:
@@ -408,11 +429,23 @@ def make_step(cfg: LegacyConfig, engine):
         rho_p = jnp.maximum(p.rho, 1e-30)
         rho_q = jnp.maximum(q.rho, 1e-30)
         du = -(ker * (p.P / rho_p**2 + q.P / rho_q**2))[..., None] * x_pq
-        denom = (r * r + 0.0025 * (p.h + q.h) ** 2 if not cfg.flow and not cfg.adiabatic
+        adaptive_h = not cfg.flow and not cfg.adiabatic
+        denom = (r * r + 0.0025 * (p.h + q.h) ** 2 if adaptive_h
                  else r * r + 0.01 * h0 * h0)
-        visc = (8.0 * ker * cfg.mu / (rho_p * rho_q)
-                * jnp.sum((p.v - q.v) * x_pq, axis=-1) / denom)
-        return {"Dv": du + visc[..., None] * x_pq}
+        dot = jnp.sum((p.v - q.v) * x_pq, axis=-1)
+        s = 8.0 * ker * cfg.mu / (rho_p * rho_q) * dot / denom
+        if cfg.av_alpha:
+            # Monaghan AV on approaching pairs (LegacyConfig.av_alpha):
+            # μ_pq = h̄·(v_pq·x_pq)/denom (reusing the scheme's own ε-form
+            # denominator), Π = (−α·c·μ + 2α·μ²)·(ρ̄⁻¹ ≈ ½(1/ρp + 1/ρq) —
+            # the mean the Pallas kernels form from the streamed 1/ρ)
+            h_av = 0.5 * (p.h + q.h) if adaptive_h else h0
+            mu_av = h_av * dot / denom
+            pi = ((-cfg.av_alpha * cfg.c_av * mu_av
+                   + 2.0 * cfg.av_alpha * mu_av**2)
+                  * 0.5 * (1.0 / rho_p + 1.0 / rho_q))
+            s = s - jnp.where(dot < 0.0, ker * pi, 0.0)
+        return {"Dv": du + s[..., None] * x_pq}
 
     def set_inflow_speed(u):
         v = jnp.stack([jnp.full_like(u.P, cfg.U_max),

@@ -772,7 +772,9 @@ def legacy_force_pass(engine, state, cfg, interpret=False):
     src/legacy/isothermal_flow_witch.jl:152-160): −q.m·rDw2(h0,r)·
     (Pp/ρp² + Pq/ρq²)·x_pq + 8·q.m·rDw2·μ/(ρpρq)·(v_pq·x_pq)/(r²+0.01h0²)
     ·x_pq. P/ρ² and 1/ρ are hoisted per particle; the per-pair body
-    carries one divide (fast_math-eligible via _div_fn)."""
+    carries one divide (fast_math-eligible via _div_fn). cfg.av_alpha adds
+    the Monaghan Π term (models/legacy_witch.py internal_force) riding the
+    same divide — μ_av = h0·dot·di is one extra FMA chain."""
     f = state.fields
     d = engine.dim
     rho_f = jnp.maximum(f["rho"], 1e-12)
@@ -786,6 +788,8 @@ def legacy_force_pass(engine, state, cfg, interpret=False):
     hinv = 1.0 / cfg.h0
     eps_h2 = 0.01 * cfg.h0 * cfg.h0
     mu8 = 8.0 * cfg.mu
+    av = getattr(cfg, "av_alpha", 0.0)
+    c_av = cfg.c_av if av else 0.0
     div = _div_fn(cfg, interpret)
 
     def body(p_all, q_all, r2, maskf):
@@ -795,9 +799,14 @@ def legacy_force_pass(engine, state, cfg, interpret=False):
         dx = [p_all[1 + a] - q_all[1 + a][None, :] for a in range(d)]
         dv = [p_all[1 + d + a] - q_all[1 + d + a][None, :] for a in range(d)]
         dot = sum(dx[a] * dv[a] for a in range(d))
+        di = div(dot, r2 + eps_h2)
         s = -ker * (p_all[2 + 2 * d] + q_all[2 + 2 * d][None, :])
-        w = (mu8 * ker * p_all[3 + 2 * d] * q_all[3 + 2 * d][None, :]
-             * div(dot, r2 + eps_h2))
+        w = mu8 * ker * p_all[3 + 2 * d] * q_all[3 + 2 * d][None, :] * di
+        if av:
+            mu_av = cfg.h0 * di
+            pi = ((-av * c_av * mu_av + (2.0 * av) * mu_av * mu_av)
+                  * 0.5 * (p_all[3 + 2 * d] + q_all[3 + 2 * d][None, :]))
+            w = w - (dot < 0.0).astype(jnp.float32) * ker * pi
         return [(s + w) * dx[a] for a in range(d)]
 
     return _run_pair_kernel(engine, state, fields, body, d,
@@ -854,6 +863,8 @@ def iso_static_force_pass(engine, state, cfg, interpret=False):
                               + [f["m"], Pterm, rinv]]
     DW = _rdw_const(d)
     mu8 = 8.0 * cfg.mu
+    av = getattr(cfg, "av_alpha", 0.0)
+    c_av = cfg.c_av if av else 0.0
     div = _div_fn(cfg, interpret)
 
     def body(p_all, q_all, r2, maskf):
@@ -868,9 +879,14 @@ def iso_static_force_pass(engine, state, cfg, interpret=False):
         dv = [p_all[2 + d + a] - q_all[2 + d + a][None, :] for a in range(d)]
         dot = sum(dx[a] * dv[a] for a in range(d))
         h_pq = hp + q_all[1 + d][None, :]
+        di = div(dot, r2 + 0.0025 * h_pq * h_pq)
         s = -ker * (p_all[3 + 2 * d] + q_all[3 + 2 * d][None, :])
-        w = (mu8 * ker * p_all[4 + 2 * d] * q_all[4 + 2 * d][None, :]
-             * div(dot, r2 + 0.0025 * h_pq * h_pq))
+        w = mu8 * ker * p_all[4 + 2 * d] * q_all[4 + 2 * d][None, :] * di
+        if av:  # Monaghan Π, h̄ = ½(hp+hq) (LegacyConfig.av_alpha)
+            mu_av = 0.5 * h_pq * di
+            pi = ((-av * c_av * mu_av + (2.0 * av) * mu_av * mu_av)
+                  * 0.5 * (p_all[4 + 2 * d] + q_all[4 + 2 * d][None, :]))
+            w = w - (dot < 0.0).astype(jnp.float32) * ker * pi
         return [(s + w) * dx[a] for a in range(d)]
 
     pad_vals = [0.0] * d + [_hfloor(engine)] + [0.0] * (3 + d)
@@ -921,6 +937,8 @@ def adia_entropy_force_pass(engine, state, cfg, interpret=False):
     eps_h2 = 0.01 * cfg.h0 * cfg.h0
     mu8 = 8.0 * cfg.mu
     mu4dt = 4.0 * cfg.mu * cfg.dt
+    av = getattr(cfg, "av_alpha", 0.0)
+    c_av = cfg.c_av if av else 0.0
     div = _div_fn(cfg, interpret)
 
     def body(p_all, q_all, r2, maskf):
@@ -934,6 +952,11 @@ def adia_entropy_force_pass(engine, state, cfg, interpret=False):
         di = div(dot, r2 + eps_h2)
         s = -kerq * (p_all[2 + 2 * d] + q_all[2 + 2 * d][None, :])
         w = mu8 * kerq * rr * di
+        if av:  # Monaghan Π on approaching pairs (LegacyConfig.av_alpha)
+            mu_av = cfg.h0 * di
+            pi = ((-av * c_av * mu_av + (2.0 * av) * mu_av * mu_av)
+                  * 0.5 * (p_all[3 + 2 * d] + q_all[3 + 2 * d][None, :]))
+            w = w - (dot < 0.0).astype(jnp.float32) * kerq * pi
         both = p_all[4 + 2 * d] * q_all[4 + 2 * d][None, :]
         dS = -mu4dt * p_all[5 + 2 * d] * kerq * rr * dot * di * both
         return [dS] + [(s + w) * dx[a] for a in range(d)]

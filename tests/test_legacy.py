@@ -114,6 +114,48 @@ def test_true_rayleigh_sponge_vs_faithful():
     assert abs(w_sponge[True]) < 0.55 * abs(w_sponge[False])
 
 
+def test_av_alpha_is_dissipative_and_conservative():
+    """Monaghan artificial viscosity (LegacyConfig.av_alpha, the
+    noise-control knob for the quantitative linear-drag runs): stepping
+    the SAME pre-force state with av_alpha 0 and 1 isolates the AV
+    acceleration exactly (av only enters internal_force; everything
+    before the force evaluation is identical). The isolated term must be
+    (a) active, (b) strictly dissipative (Σ m·v·ΔDv < 0), and (c) exactly
+    momentum-conserving (the Π_pq pair force is antisymmetric)."""
+    import jax
+    import jax.numpy as jnp
+
+    Dv, vf, m, act = {}, {}, None, None
+    for av in (0.0, 1.0):
+        cfg = lw.adiabatic_flow_config(
+            n_rows=12, dom_length=40e3, h_m=500.0, a=6e3, dtype="float64",
+            true_rayleigh=True, consistent_entropy=True, av_alpha=av)
+        sys_ = lw.make_system(cfg)
+        state = sys_.freeze()
+        f = state.fields
+        # lattice-scale (4·dr) velocity noise → plenty of approaching pairs
+        x, y = f["x"][:, 0], f["x"][:, 1]
+        k = 2 * np.pi / (4 * cfg.dr)
+        fl = state.active & (f["type"] == lw.FLUID)
+        noise = jnp.stack([3.0 * jnp.sin(k * x) * jnp.cos(k * y),
+                           3.0 * jnp.cos(k * x) * jnp.sin(k * y)], -1)
+        state = state.replace(v=jnp.where(fl[:, None], f["v"] + noise,
+                                          f["v"]))
+        s1 = jax.jit(lw.make_step(cfg, sys_.engine))(state)
+        Dv[av] = np.asarray(s1.fields["Dv"])
+        vf[av] = np.asarray(s1.fields["v"])
+        m = np.asarray(s1.fields["m"])
+        act = np.asarray(s1.active)
+    dDv = (Dv[1.0] - Dv[0.0]) * act[:, None]
+    m = m * act
+    assert np.abs(dDv).max() > 0.1                       # wired and active
+    assert float(np.sum(m[:, None] * vf[0.0] * dDv)) < 0  # dissipative
+    # antisymmetric pair force: net momentum change ~ f64 roundoff
+    net = np.abs((m[:, None] * dDv).sum(0))
+    scale = (m[:, None] * np.abs(dDv)).sum(0)
+    assert (net < 1e-12 * scale).all()
+
+
 def test_outflow_buffer_conversion_and_freeze():
     """Open right boundary (outflow_buffer > 0): FLUID entering the last w
     of the domain converts to OUTFLOW, frozen at the prescribed flux (U, 0)

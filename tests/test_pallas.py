@@ -236,16 +236,19 @@ def test_pavelka_step_pallas_matches_xla(interpret_kernels):
         layout="bucket", skin=0.2, use_pallas=up))
 
 
-def test_legacy_flow_step_pallas_matches_xla(interpret_kernels):
+@pytest.mark.parametrize("av", [0.0, 0.05], ids=["faithful", "av"])
+def test_legacy_flow_step_pallas_matches_xla(interpret_kernels, av):
     """Terrain-baseline scheme (isothermal flow): the fused fixed-h0
     mass/force kernels against the apply_binary path, full steps incl.
-    inflow recycling; mountain drag must agree too."""
+    inflow recycling; mountain drag must agree too. av=0.05 wires the
+    Monaghan artificial-viscosity branch (LegacyConfig.av_alpha) through
+    both paths."""
     from sph_mountain_waves_tpu.models import legacy_witch as lw
     outs = {}
     for up in (False, True):
         cfg = lw.isothermal_flow_config(n_rows=16, dom_length=40e3,
                                         h_m=2000.0, a=6e3, dtype="float32",
-                                        use_pallas=up)
+                                        use_pallas=up, av_alpha=av)
         sys_ = lw.make_system(cfg)
         sys_.freeze_opts.update(capacity=int(sys_.n_built * 1.3),
                                 rescatter_mode="sort", layout="bucket",
@@ -261,16 +264,18 @@ def test_legacy_flow_step_pallas_matches_xla(interpret_kernels):
     np.testing.assert_allclose(outs[True], outs[False], rtol=2e-4)
 
 
-def test_iso_static_step_pallas_matches_xla(interpret_kernels):
+@pytest.mark.parametrize("av", [0.0, 0.05], ids=["faithful", "av"])
+def test_iso_static_step_pallas_matches_xla(interpret_kernels, av):
     """Isothermal static scheme: the adaptive per-particle-h mass/force
     kernels against the apply_binary path; the evolving smoothing length
-    (balance_of_smoothing integrates Dh from the Pallas Drho) must agree."""
+    (balance_of_smoothing integrates Dh from the Pallas Drho) must agree.
+    av=0.05 wires the adaptive-h̄ Monaghan branch through both paths."""
     from sph_mountain_waves_tpu.models import legacy_witch as lw
     outs = {}
     for up in (False, True):
         cfg = lw.isothermal_static_config(n_rows=14, dom_length=40e3,
                                           h_m=2000.0, a=6e3, dtype="float32",
-                                          use_pallas=up)
+                                          use_pallas=up, av_alpha=av)
         sys_ = lw.make_system(cfg)
         sys_.freeze_opts.update(layout="bucket", skin=0.15)
         state = sys_.freeze()
@@ -302,7 +307,7 @@ def test_adiabatic_step_pallas_matches_xla(interpret_kernels, flow, corrected):
     extra = {}
     if corrected:
         extra = dict(true_rayleigh=True, consistent_entropy=True,
-                     outflow_buffer=2 * 1.8 * (26e3 / 14))
+                     outflow_buffer=2 * 1.8 * (26e3 / 14), av_alpha=0.05)
     outs = {}
     for up in (False, True):
         cfg = factory(n_rows=14, dom_length=40e3, h_m=2000.0, a=6e3,
