@@ -518,7 +518,24 @@ def make_step(cfg: LegacyConfig, engine):
         owner does), and a spawn written into a ghost column would be
         destroyed by the next halo refresh. The cond predicate is a local
         scalar and the branch contains no collectives, so devices take the
-        spawn branch independently."""
+        spawn branch independently.
+
+        Placement has two strategies. The free-POOL path writes spawns
+        into arbitrary inactive slots and leaves their ``_xref`` stale, so
+        the next rebuild's drift check forces a full rescatter before any
+        pair sweep reads the (slot-implicit) cell membership — correct for
+        any layout but requires ``rescatter_mode="sort"`` (a teleported
+        row is farther than the stencil move reaches) and costs a ~100 ms
+        sort event plus ~200 s of variadic-sort compile at the terrain
+        config. The slot-TARGETED path (single-device bucket engine in
+        stencil mode) instead places each spawn in a free slot of its HOME
+        cell — binned exactly as ``_screen_and_key`` bins — and stamps
+        ``_xref`` = x_new, so the 1-cell locality invariant of the stencil
+        rescatter keeps holding and the spawn event triggers no rescatter
+        at all. Spawns whose home cell has no free rank are dropped (the
+        pool path's exhaustion semantics); cap headroom makes that rare —
+        the freshly-advected-away inflow column leaves its cells
+        under-occupied."""
         f = state.fields
         n = state.capacity
         edge = -cfg.dom_length / 2
@@ -527,6 +544,11 @@ def make_step(cfg: LegacyConfig, engine):
         if owned is not None:
             conv = conv & jnp.asarray(owned)
         k = cfg.max_spawn
+        slot_targeted = (
+            owned is None
+            and getattr(engine, "layout", "flat") == "bucket"
+            and getattr(engine, "effective_rescatter_mode", "sort")
+            == "stencil")
 
         def first_k(mask):
             # indices of the first k True entries via cumsum rank-packing —
@@ -542,15 +564,37 @@ def make_step(cfg: LegacyConfig, engine):
             src_raw = first_k(conv)
             src = jnp.minimum(src_raw, n - 1)       # sentinel n -> clamp
             src_ok = (src_raw < n) & conv[src]
-            free = ~active
-            if owned is not None:
-                free = free & jnp.asarray(owned)
-            tgt_raw = first_k(free)
-            tgt = jnp.minimum(tgt_raw, n - 1)
-            ok = src_ok & (tgt_raw < n) & free[tgt]
-            tgt_safe = jnp.where(ok, tgt, n)
             x_new = f["x"][src] - jnp.asarray([cfg.bc_width, 0.0],
                                               f["x"].dtype)
+            if slot_targeted:
+                # home-cell binning, exactly as _screen_and_key bins
+                L = jnp.asarray(engine.cell_size, x_new.dtype)
+                cell = (jnp.floor(x_new / L).astype(jnp.int32)
+                        - jnp.asarray(engine.phase, jnp.int32))
+                cell = jnp.clip(cell, 0,
+                                jnp.asarray(engine.lims, jnp.int32) - 1)
+                C, cap = engine.num_cells, engine.cap
+                # invalid candidates bin to the padding column C: they
+                # consume free ranks only there and are never written
+                c = jnp.where(src_ok, engine.flat_key(cell), C)
+                free_cols = (~active).reshape(cap, C + 1)[:, c]  # [cap, k]
+                # rank among same-cell spawns (stable: earlier candidate
+                # gets the earlier free rank)
+                ar = jnp.arange(k)
+                order = jnp.sum((c[None, :] == c[:, None])
+                                & (ar[None, :] < ar[:, None]), axis=1)
+                fcount = jnp.cumsum(free_cols.astype(jnp.int32), axis=0)
+                sel = free_cols & (fcount == (order + 1)[None, :])
+                ok = src_ok & jnp.any(sel, axis=0)
+                tgt = jnp.argmax(sel, axis=0).astype(jnp.int32) * (C + 1) + c
+            else:
+                free = ~active
+                if owned is not None:
+                    free = free & jnp.asarray(owned)
+                tgt_raw = first_k(free)
+                tgt = jnp.minimum(tgt_raw, n - 1)
+                ok = src_ok & (tgt_raw < n) & free[tgt]
+            tgt_safe = jnp.where(ok, tgt, n)
             y = x_new[:, 1]
             rho = cfg.rho0 * jnp.exp(-y * cfg.g / (cfg.R_mass * cfg.T0))
             fields = dict(f)
@@ -578,6 +622,11 @@ def make_step(cfg: LegacyConfig, engine):
                     (cfg.cv * cfg.T0 * (cfg.gamma - 1))
                     / (gfac * rho ** (cfg.gamma - 1)))
                 fields["S"] = fields["S"].at[tgt_safe].set(S, mode="drop")
+            if slot_targeted and "_xref" in f:
+                # placement is already slot-correct: stamp the rescatter
+                # reference so the spawn event triggers no rescatter
+                fields["_xref"] = f["_xref"].at[tgt_safe].set(x_new,
+                                                              mode="drop")
             return fields, active.at[tgt_safe].set(ok, mode="drop")
 
         def no_op(f, active):
@@ -749,6 +798,13 @@ def run(cfg: LegacyConfig, out_path: str | None = None, verbose: bool = False,
         sys = make_system(cfg_)
         if cfg_.flow:
             sys.freeze_opts["capacity"] = int(sys.n_built * capacity_factor)
+            if sys.freeze_opts.get("layout") == "bucket":
+                # single-device production: slot-targeted spawn
+                # (add_new_particles) keeps the stencil rescatter valid —
+                # no ~100 ms sort events, no ~200 s variadic-sort compile.
+                # effective_rescatter_mode still degrades to "sort" (and
+                # the spawn to the pool path) past the unroll-cost bound.
+                sys.freeze_opts["rescatter_mode"] = "stencil"
         return sys
 
     return _run_witch_scheme(cfg, _make_system, make_step,

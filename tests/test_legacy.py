@@ -114,6 +114,39 @@ def test_true_rayleigh_sponge_vs_faithful():
     assert abs(w_sponge[True]) < 0.55 * abs(w_sponge[False])
 
 
+def test_slot_targeted_spawn_matches_sort():
+    """The stencil-mode spawn (add_new_particles' slot-TARGETED path:
+    spawns placed in free slots of their home cells, _xref stamped, no
+    forced rescatter) must reproduce the sort-mode run exactly across a
+    real spawn event. Geometry from the sharded spawn gate: the boot
+    inflow column sits ~333 m upstream of the edge and converts at
+    U_max=20 after ~109 steps, so 120 steps spans conversion + spawn."""
+    import jax
+
+    cfg = lw.isothermal_flow_config(n_rows=12, dom_length=60e3,
+                                    dtype="float64", layout="bucket",
+                                    skin=0.3)
+    outs, n_built = {}, None
+    for mode in ("sort", "stencil"):
+        sys_ = lw.make_system(cfg)
+        sys_.freeze_opts["rescatter_mode"] = mode
+        st = sys_.freeze()
+        assert sys_.engine.effective_rescatter_mode == mode
+        step = jax.jit(lw.make_step(cfg, sys_.engine))
+        for _ in range(120):
+            st = step(st)
+        act = np.asarray(st.active)
+        v = np.asarray(st.fields["v"])[act]
+        s = np.sqrt((v ** 2).sum(-1))
+        outs[mode] = (int(act.sum()), s.mean(), s.max(),
+                      float(lw.mountain_force(st)["drag"]))
+        n_built = sys_.n_built
+    assert outs["stencil"][0] > n_built          # the spawn event fired
+    assert outs["stencil"][0] == outs["sort"][0]  # same particle count
+    np.testing.assert_allclose(outs["stencil"][1:], outs["sort"][1:],
+                               rtol=1e-12)
+
+
 def test_av_alpha_is_dissipative_and_conservative():
     """Monaghan artificial viscosity (LegacyConfig.av_alpha, the
     noise-control knob for the quantitative linear-drag runs): stepping
