@@ -150,7 +150,12 @@ class LegacyConfig:
     # ν_AV·k² with ν_AV ≈ α·c·h0/8: lattice noise (k ~ π/dr) dies in
     # seconds at α = 0.02–0.05 while the mountain wave (k_z = N/U, λ_z ≫
     # h0) loses only ~e^(−ν k_z² z/c_gz) over its climb to the flux bands
-    # — choose α from that separation. 0 = off (faithful).
+    # — choose α from that separation. 0 = off (faithful). Applied to
+    # FLUID–FLUID pairs ONLY (free-slip floor): ungated AV acts on the
+    # always-approaching fluid↔MOUNTAIN floor pairs as a no-slip drag
+    # that shields the ridge (measured round 4: ungated α=0.05 gave
+    # u_avg 19.4 < U and flux −0.10·D_lin; the gate preserves AV's
+    # noise win, σ 2.6→0.4·D_lin per frame).
     av_alpha: float = 0.0
     # isothermal files use cp = 7·R_gas/2 (isothermal_static_witch.jl:43 —
     # the universal constant, unlike current/ which uses R_mass);
@@ -435,16 +440,24 @@ def make_step(cfg: LegacyConfig, engine):
         dot = jnp.sum((p.v - q.v) * x_pq, axis=-1)
         s = 8.0 * ker * cfg.mu / (rho_p * rho_q) * dot / denom
         if cfg.av_alpha:
-            # Monaghan AV on approaching pairs (LegacyConfig.av_alpha):
-            # μ_pq = h̄·(v_pq·x_pq)/denom (reusing the scheme's own ε-form
-            # denominator), Π = (−α·c·μ + 2α·μ²)·(ρ̄⁻¹ ≈ ½(1/ρp + 1/ρq) —
-            # the mean the Pallas kernels form from the streamed 1/ρ)
+            # Monaghan AV on approaching FLUID–FLUID pairs
+            # (LegacyConfig.av_alpha): μ_pq = h̄·(v_pq·x_pq)/denom (reusing
+            # the scheme's own ε-form denominator), Π = (−α·c·μ + 2α·μ²)·
+            # (ρ̄⁻¹ ≈ ½(1/ρp + 1/ρq) — the mean the Pallas kernels form
+            # from the streamed 1/ρ). The fluid–fluid gate is load-bearing:
+            # fluid sliding over the static MOUNTAIN lattice always has
+            # approaching floor pairs, so ungated AV is a no-slip floor
+            # drag that decelerates the near-surface flow below U and
+            # kills the wave launch (TPU round 4: ungated α=0.05 measured
+            # flux −0.10·D_lin with u_avg 19.4 < U; the noise DID damp,
+            # σ 2.6→0.4·D_lin — free-slip gating keeps that win).
             h_av = 0.5 * (p.h + q.h) if adaptive_h else h0
             mu_av = h_av * dot / denom
             pi = ((-cfg.av_alpha * cfg.c_av * mu_av
                    + 2.0 * cfg.av_alpha * mu_av**2)
                   * 0.5 * (1.0 / rho_p + 1.0 / rho_q))
-            s = s - jnp.where(dot < 0.0, ker * pi, 0.0)
+            both_fl = (p.type == FLUID) & (q.type == FLUID)
+            s = s - jnp.where(both_fl & (dot < 0.0), ker * pi, 0.0)
         return {"Dv": du + s[..., None] * x_pq}
 
     def set_inflow_speed(u):

@@ -780,16 +780,19 @@ def legacy_force_pass(engine, state, cfg, interpret=False):
     rho_f = jnp.maximum(f["rho"], 1e-12)
     Pterm = f["P"] / rho_f**2
     rinv = 1.0 / rho_f
+    av = getattr(cfg, "av_alpha", 0.0)
+    c_av = cfg.c_av if av else 0.0
     coords = [engine.resident(f["x"][:, a]) for a in range(d)]
+    scalars = [f["m"], Pterm, rinv]
+    if av:  # fluid–fluid AV gate streams as one extra field (see
+        # adia_entropy_force_pass: ungated AV = no-slip mountain drag)
+        scalars.append((f["type"] == 0.0).astype(f["m"].dtype))
     fields = coords + [engine.resident(a) for a in
-                       [f["v"][:, a] for a in range(d)]
-                       + [f["m"], Pterm, rinv]]
+                       [f["v"][:, a] for a in range(d)] + scalars]
     kc = _rdw_const(d) / cfg.h0 ** (d + 2)
     hinv = 1.0 / cfg.h0
     eps_h2 = 0.01 * cfg.h0 * cfg.h0
     mu8 = 8.0 * cfg.mu
-    av = getattr(cfg, "av_alpha", 0.0)
-    c_av = cfg.c_av if av else 0.0
     div = _div_fn(cfg, interpret)
 
     def body(p_all, q_all, r2, maskf):
@@ -803,10 +806,11 @@ def legacy_force_pass(engine, state, cfg, interpret=False):
         s = -ker * (p_all[2 + 2 * d] + q_all[2 + 2 * d][None, :])
         w = mu8 * ker * p_all[3 + 2 * d] * q_all[3 + 2 * d][None, :] * di
         if av:
+            both = p_all[4 + 2 * d] * q_all[4 + 2 * d][None, :]
             mu_av = cfg.h0 * di
             pi = ((-av * c_av * mu_av + (2.0 * av) * mu_av * mu_av)
                   * 0.5 * (p_all[3 + 2 * d] + q_all[3 + 2 * d][None, :]))
-            w = w - (dot < 0.0).astype(jnp.float32) * ker * pi
+            w = w - both * (dot < 0.0).astype(jnp.float32) * ker * pi
         return [(s + w) * dx[a] for a in range(d)]
 
     return _run_pair_kernel(engine, state, fields, body, d,
@@ -857,14 +861,16 @@ def iso_static_force_pass(engine, state, cfg, interpret=False):
     rho_f = jnp.maximum(f["rho"], 1e-12)
     Pterm = f["P"] / rho_f**2
     rinv = 1.0 / rho_f
-    coords, hB = _resident_xhm(engine, state, _hfloor(engine))
-    fields = coords + [hB] + [engine.resident(a) for a in
-                              [f["v"][:, a] for a in range(d)]
-                              + [f["m"], Pterm, rinv]]
-    DW = _rdw_const(d)
-    mu8 = 8.0 * cfg.mu
     av = getattr(cfg, "av_alpha", 0.0)
     c_av = cfg.c_av if av else 0.0
+    coords, hB = _resident_xhm(engine, state, _hfloor(engine))
+    scalars = [f["m"], Pterm, rinv]
+    if av:  # fluid–fluid AV gate (see adia_entropy_force_pass)
+        scalars.append((f["type"] == 0.0).astype(f["m"].dtype))
+    fields = coords + [hB] + [engine.resident(a) for a in
+                              [f["v"][:, a] for a in range(d)] + scalars]
+    DW = _rdw_const(d)
+    mu8 = 8.0 * cfg.mu
     div = _div_fn(cfg, interpret)
 
     def body(p_all, q_all, r2, maskf):
@@ -882,14 +888,16 @@ def iso_static_force_pass(engine, state, cfg, interpret=False):
         di = div(dot, r2 + 0.0025 * h_pq * h_pq)
         s = -ker * (p_all[3 + 2 * d] + q_all[3 + 2 * d][None, :])
         w = mu8 * ker * p_all[4 + 2 * d] * q_all[4 + 2 * d][None, :] * di
-        if av:  # Monaghan Π, h̄ = ½(hp+hq) (LegacyConfig.av_alpha)
+        if av:  # Monaghan Π, h̄ = ½(hp+hq), FLUID–FLUID only
+            # (LegacyConfig.av_alpha)
+            both = p_all[5 + 2 * d] * q_all[5 + 2 * d][None, :]
             mu_av = 0.5 * h_pq * di
             pi = ((-av * c_av * mu_av + (2.0 * av) * mu_av * mu_av)
                   * 0.5 * (p_all[4 + 2 * d] + q_all[4 + 2 * d][None, :]))
-            w = w - (dot < 0.0).astype(jnp.float32) * ker * pi
+            w = w - both * (dot < 0.0).astype(jnp.float32) * ker * pi
         return [(s + w) * dx[a] for a in range(d)]
 
-    pad_vals = [0.0] * d + [_hfloor(engine)] + [0.0] * (3 + d)
+    pad_vals = [0.0] * d + [_hfloor(engine)] + [0.0] * (3 + d + (1 if av else 0))
     return _run_pair_kernel(engine, state, fields, body, d,
                             self_pair=False, interpret=interpret,
                             pad_vals=pad_vals)
@@ -951,13 +959,15 @@ def adia_entropy_force_pass(engine, state, cfg, interpret=False):
         rr = p_all[3 + 2 * d] * q_all[3 + 2 * d][None, :]  # 1/(ρp·ρq)
         di = div(dot, r2 + eps_h2)
         s = -kerq * (p_all[2 + 2 * d] + q_all[2 + 2 * d][None, :])
+        both = p_all[4 + 2 * d] * q_all[4 + 2 * d][None, :]
         w = mu8 * kerq * rr * di
-        if av:  # Monaghan Π on approaching pairs (LegacyConfig.av_alpha)
+        if av:  # Monaghan Π on approaching FLUID–FLUID pairs (free-slip
+            # floor — ungated AV is a no-slip mountain drag that kills the
+            # wave launch; see models/legacy_witch.py internal_force)
             mu_av = cfg.h0 * di
             pi = ((-av * c_av * mu_av + (2.0 * av) * mu_av * mu_av)
                   * 0.5 * (p_all[3 + 2 * d] + q_all[3 + 2 * d][None, :]))
-            w = w - (dot < 0.0).astype(jnp.float32) * kerq * pi
-        both = p_all[4 + 2 * d] * q_all[4 + 2 * d][None, :]
+            w = w - both * (dot < 0.0).astype(jnp.float32) * kerq * pi
         dS = -mu4dt * p_all[5 + 2 * d] * kerq * rr * dot * di * both
         return [dS] + [(s + w) * dx[a] for a in range(d)]
 
