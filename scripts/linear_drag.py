@@ -40,6 +40,11 @@ def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
         h_m=300.0, a=5e3, avg_window=0.2, av_alpha=0.0):
     from sph_mountain_waves_tpu.models import legacy_witch as lw
 
+    # γ_max = N/2 STRUCTURALLY (ADVICE round 3): derive N from the same
+    # config-factory constants the run itself uses, not hardcoded numbers
+    ref = lw.adiabatic_flow_config()
+    N_ref = ref.g / float(np.sqrt(ref.cp * ref.T0))
+
     # true_rayleigh: the reference's as-committed sponge is a constant
     # body force (typo'd damping_structure) that drives the whole domain
     # to u_avg ~ 67 m/s — unusable for a quantitative wave observable;
@@ -56,7 +61,7 @@ def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
         # absorbing sponge: γ_max = N/2 ramped over z_b = 8 km ≈ 1.25·λ_z
         # (the default γᵣ = 10·N_bv ≈ 70·N is a reflecting lid — measured
         # flux −D_lin with resonant u_max aloft, round 3)
-        sponge_gamma=0.5 * 9.81 / float(np.sqrt(7 * 287.05 / 2 * 250.0)),
+        sponge_gamma=0.5 * N_ref,
         # gentle linear-regime winds (u ~ U = 20 m/s, no blocked-flow
         # plumes): lattice 2dr cells (cap 8) are the optimum — the drift
         # budget still buys ~70 steps between rescatters

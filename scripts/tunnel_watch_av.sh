@@ -4,7 +4,7 @@
 while true; do
   if timeout 180 python -c "import jax; import jax.numpy as jnp; assert jax.devices()[0].platform != 'cpu'; print(float(jnp.sum(jnp.ones((8,128)))))" >/dev/null 2>&1; then
     echo "tunnel up $(date +%H:%M:%S)" >> /tmp/tunnel_watch_av.log
-    timeout 7200 python -c "
+    flock /tmp/tpu_job.lock timeout 7200 python -c "
 import sys
 sys.path.insert(0, '/root/repo'); sys.path.insert(0, '/root/repo/scripts')
 from linear_drag import run

@@ -761,6 +761,19 @@ def mountain_force(state: ParticleState) -> dict:
     return {"drag": F[0], "lift": F[1]}
 
 
+def inflow_reservoir(state: ParticleState) -> dict:
+    """INFLOW-row count — the spawn-leak detector (ADVICE round 3).
+    Recycling conserves the INFLOW population exactly: every conversion
+    (INFLOW→FLUID at the domain edge) spawns exactly one INFLOW row at the
+    back of the queue, so a sustained decline in ``n_inflow`` means silent
+    spawn drops — home-cell free-rank exhaustion at tight bucket caps
+    (add_new_particles' slot-targeted path), pool exhaustion, or (sharded)
+    a spawn binned outside the spawning device's slab. Exported per frame
+    by the flow run loop (merged into every ``extra_diag``)."""
+    f = state.fields
+    return {"n_inflow": jnp.sum(state.active & (f["type"] == INFLOW))}
+
+
 def wave_momentum_flux(cfg: LegacyConfig, z0: float, dz: float,
                        tag: str = "wave_flux", x_window: float | None = None):
     """Per-frame wave-drag observable D(z₀) = −∫ρ u′w′ dx: the vertical
@@ -820,10 +833,19 @@ def run(cfg: LegacyConfig, out_path: str | None = None, verbose: bool = False,
                 sys.freeze_opts["rescatter_mode"] = "stencil"
         return sys
 
+    diag = extra_diag or mountain_force
+    if cfg.flow and cfg.max_spawn:
+        # always ride the spawn-leak detector alongside whatever the
+        # caller asked for (inflow_reservoir docstring)
+        base_diag = diag
+
+        def diag(state):
+            return {**base_diag(state), **inflow_reservoir(state)}
+
     return _run_witch_scheme(cfg, _make_system, make_step,
                              ("v", "P", "theta", "rho", "type"),
                              out_path, verbose, setup=setup,
-                             extra_diag=extra_diag or mountain_force)
+                             extra_diag=diag)
 
 
 # named configurations mapping 1:1 to the reference files

@@ -204,7 +204,7 @@ class BucketDomainSharding:
 
 
 def balanced_col_starts(sys, n_dev: int, slab_axis: int = 0,
-                        host_x=None) -> tuple:
+                        host_x=None, min_first_width: int = 0) -> tuple:
     """Equal-PARTICLE slab boundaries from the build-time column histogram
     (n_dev+1 monotone global column indices; each owned band ≥ GHOST wide).
     Step time under synchronous collectives is the max over devices, so for
@@ -213,7 +213,15 @@ def balanced_col_starts(sys, n_dev: int, slab_axis: int = 0,
     REbalance a long run whose distribution has drifted, round-trip through
     the compact checkpoint (save_checkpoint_bucket →
     shard_state_bucket(host=...) with fresh boundaries — it re-places rows
-    by position on any partition)."""
+    by position on any partition).
+
+    ``min_first_width``: lower bound (in columns) on device 0's owned
+    band. Inflow-recycling flow models need device 0 to own the WHOLE
+    respawn zone — the spawn is written into an owned slot of the device
+    that owns the CONVERTING column, so a first slab narrower than the
+    inflow zone silently loses every spawn whose position bins left of
+    it (ADVICE round 3, medium). run_sharded_witch_bucket derives this
+    from the model config; the default 0 keeps GHOST as the bound."""
     g = sys.engine
     x = np.asarray(host_x if host_x is not None else sys.host_fields()["x"],
                    dtype=np.float64)
@@ -221,16 +229,18 @@ def balanced_col_starts(sys, n_dev: int, slab_axis: int = 0,
     cols = (np.floor(x[:, :g.dim] / np.asarray(L)).astype(np.int64)
             - np.asarray(g.phase))[:, slab_axis]
     n_cols = int(g.lims[slab_axis])
-    assert n_cols >= GHOST * n_dev, (
-        f"{n_dev} devices need ≥ {GHOST * n_dev} columns, grid has {n_cols}")
+    first_w = max(GHOST, int(min_first_width))
+    assert n_cols >= first_w + GHOST * (n_dev - 1), (
+        f"{n_dev} devices need ≥ {first_w + GHOST * (n_dev - 1)} columns "
+        f"(first slab ≥ {first_w}), grid has {n_cols}")
     counts = np.bincount(np.clip(cols, 0, n_cols - 1), minlength=n_cols)
     cum = np.cumsum(counts)
     total = int(cum[-1])
     starts = [0]
     for d in range(1, n_dev):
         b = int(np.searchsorted(cum, d * total / n_dev))
-        starts.append(int(np.clip(b, starts[-1] + GHOST,
-                                  n_cols - GHOST * (n_dev - d))))
+        lo = starts[-1] + GHOST if d > 1 else first_w
+        starts.append(int(np.clip(b, lo, n_cols - GHOST * (n_dev - d))))
     starts.append(n_cols)
     return tuple(starts)
 
@@ -637,12 +647,29 @@ class BucketShardEngine:
         if self.bds.col_starts is None:
             return _owned_mask_flat(self.bds)
         eng = self._eng
-        _, w = self._dev_start_w()
+        try:
+            _, w = self._dev_start_w()
+        except NameError as e:
+            # lax.axis_index outside a shard_map trace — fail loud with
+            # the actual contract instead of a deep axis NameError
+            # (ADVICE round 3: the property silently changes type with
+            # balance, so pre-balance host-side consumers break here)
+            raise RuntimeError(
+                "owned_flat on a BALANCED partition is a per-device traced "
+                "mask (lax.axis_index tables) and exists only inside "
+                "shard_map; host-side consumers should call "
+                "owned_flat_dev(d) instead") from e
         col = jnp.asarray(
             _slab_coord_of_cell(self.bds, eng.num_cells + 1))
         owned_cell = (col >= GHOST) & (col < GHOST + w)
         owned_cell = owned_cell.at[eng.num_cells].set(False)  # trash col
         return jnp.tile(owned_cell, eng.cap)
+
+    def owned_flat_dev(self, d: int) -> np.ndarray:
+        """Host-side static [slots_local] owned mask for device ``d`` —
+        the out-of-shard_map counterpart of ``owned_flat``, valid for both
+        uniform and balanced partitions (diagnostics, ISPH tooling)."""
+        return _owned_mask_flat(self.bds, d)
 
     def _owned_cells(self):
         """[num_cells_local] bool owned-cell mask (traced when balanced) —

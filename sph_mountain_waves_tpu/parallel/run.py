@@ -150,9 +150,26 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
     col_starts = None
     if balance:
         from .bucket import balanced_col_starts
+        min_first = 0
+        if (slab_axis == 0 and getattr(cfg, "flow", False)
+                and getattr(cfg, "max_spawn", 0)):
+            # inflow recycling: the spawn is written into an owned slot of
+            # the device that owns the CONVERTING column (x ≈ domain edge),
+            # and its new position x − bc_width bins up to bc_width left of
+            # that — device 0 must own the whole respawn zone or the spawn
+            # is silently lost at the next rescatter (no ghost block ever
+            # carries an interior slot to the neighbor). Clamp the first
+            # balanced slab to cover [grid origin .. edge column] + one
+            # skin-drift safety column.
+            g = sys.engine
+            edge = -cfg.dom_length / 2 + cfg.U_max * cfg.dt
+            edge_col = int(np.floor(edge / float(np.asarray(g.cell_size)[0]))
+                           - int(np.asarray(g.phase)[0]))
+            min_first = edge_col + 2
         col_starts = balanced_col_starts(
             sys, n_dev, slab_axis,
-            host_x=host["x"] if host is not None else None)
+            host_x=host["x"] if host is not None else None,
+            min_first_width=min_first)
     bds = build_bucket_sharding(sys, n_dev, slab_axis=slab_axis,
                                 col_starts=col_starts)
     state = shard_state_bucket(bds, sys, mesh, host=host)

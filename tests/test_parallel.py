@@ -497,3 +497,92 @@ def test_bucket_sharded_flow_spawn_conserves():
     hstate = gather_state_bucket(bds, state)
     drag2 = float(lw.mountain_force(hstate)["drag"])
     np.testing.assert_allclose(drag2, drag1, rtol=1e-10)
+
+
+def test_bucket_sharded_flow_spawn_first_slab_ownership():
+    """Inflow respawn-zone ownership (ADVICE round 3, medium): a spawn is
+    written into an owned slot of the device that owns the CONVERTING
+    column, but its position x − bc_width bins up to bc_width further
+    left. (a) With a pathological partition whose first slab is narrower
+    than the respawn zone, the spawned rows are silently lost (interior
+    slots are never ghost-exchanged, and the next sort rescatter drops
+    them as un-owned). (b) The production runner's ``balance=True`` path
+    clamps the first balanced slab past the respawn zone
+    (``balanced_col_starts(min_first_width=...)``) and conserves the
+    INFLOW reservoir exactly."""
+    from sph_mountain_waves_tpu.models import legacy_witch as lw
+    from sph_mountain_waves_tpu.parallel.bucket import (
+        GHOST, build_bucket_sharding, gather_state_bucket,
+        make_bucket_runner, shard_state_bucket)
+    from sph_mountain_waves_tpu.parallel.run import run_sharded_witch_bucket
+
+    n_dev = 4
+    cfg = lw.isothermal_flow_config(n_rows=12, dom_length=60e3,
+                                    dtype="float64", layout="bucket",
+                                    skin=0.3)
+    n_steps = 120  # spans the first conversion event (~109 steps)
+
+    def inflow_count(st):
+        act = np.asarray(st.active)
+        return int((act & (np.asarray(st.fields["type"]) == lw.INFLOW)).sum())
+
+    sys_a = lw.make_system(cfg)
+    st0 = sys_a.freeze()
+    n_inflow0 = inflow_count(st0)
+    g = sys_a.engine
+    edge = -cfg.dom_length / 2 + cfg.U_max * cfg.dt
+    edge_col = int(np.floor(edge / float(np.asarray(g.cell_size)[0]))
+                   - int(np.asarray(g.phase)[0]))
+    assert edge_col >= GHOST  # the pathology is reachable in this config
+
+    # (a) pathological explicit partition: device 0 owns only GHOST cols
+    n_cols = int(g.lims[0])
+    starts = [0, GHOST]
+    for d in range(2, n_dev):
+        starts.append(GHOST + (d - 1) * (n_cols - GHOST) // (n_dev - 1))
+    starts.append(n_cols)
+    mesh = make_mesh(n_dev)
+    bds = build_bucket_sharding(sys_a, n_dev, col_starts=tuple(starts))
+    state = shard_state_bucket(bds, sys_a, mesh)
+    run_frame, diag = make_bucket_runner(
+        bds, mesh, lambda e: lw.make_step(cfg, e), steps_per_frame=10)
+    for _ in range(n_steps // 10):
+        state = run_frame(state)
+    lost = n_inflow0 - inflow_count(gather_state_bucket(bds, state))
+    assert lost > 0  # the documented silent loss is real
+
+    # (b) the production balanced path conserves the reservoir
+    res = run_sharded_witch_bucket(cfg, n_dev=n_dev, model=lw,
+                                   steps_per_frame=10, slab_axis=0,
+                                   n_frames=n_steps // 10, balance=True)
+    assert res["sharding"].col_starts[1] >= edge_col + 1  # clamp applied
+    hstate = gather_state_bucket(res["sharding"], res["state"])
+    assert inflow_count(hstate) == n_inflow0
+
+
+def test_balanced_owned_flat_host_side_contract():
+    """``owned_flat`` on a BALANCED partition is a traced per-device mask
+    and must fail loud outside shard_map (ADVICE round 3) — host-side
+    consumers get ``owned_flat_dev(d)``, which must agree with the static
+    per-device masks and tile the partition exactly."""
+    from sph_mountain_waves_tpu.models import collapse_dry as cd
+    from sph_mountain_waves_tpu.parallel.bucket import (
+        BucketShardEngine, build_bucket_sharding)
+
+    cfg = cd.Config(dr=0.04, dtype="float64", layout="bucket", skin=0.3)
+    sys = cd.make_system(cfg)
+    sys.freeze(layout="bucket", skin=0.3)
+    bds = build_bucket_sharding(sys, 4, balance=True)
+    eng = BucketShardEngine(bds)
+    with pytest.raises(RuntimeError, match="owned_flat_dev"):
+        _ = eng.owned_flat
+    masks = [eng.owned_flat_dev(d) for d in range(4)]
+    for m in masks:
+        assert m.dtype == bool and m.shape == masks[0].shape
+    widths = np.diff(np.asarray(bds.col_starts))
+    counts = np.asarray([m.sum() for m in masks])
+    # owned slots per device = slab width × (slots per column): exact
+    # proportionality, and the partition covers every column once
+    slots_per_col = counts[0] // widths[0]
+    assert slots_per_col > 0
+    np.testing.assert_array_equal(counts, widths * slots_per_col)
