@@ -55,8 +55,21 @@ class ISPHWitchConfig(WitchConfig):
     C_free: float = 10.0
     v_char: float = 50.0          # characteristic speed for the CFL dt
     mu_dyn: float = 1.8e-5        # dynamic viscosity of air
-    cg_tol: float = 1e-6
+    # Production default 1e-4 (round-4): the solve controls velocity
+    # divergence, and the projection's own spatial discretization error is
+    # O(h²)-level — at the 208k baseline the rel-div left at tol 1e-4 is
+    # ~1e-4 of the velocity scale, three orders below the rtol-1e-3
+    # fidelity gates, while the step cost drops 18.7 → 10.5 ms (73 → 35
+    # iterations, TPU-measured round 3; solver-bound so ms tracks its).
+    # Tighten to 1e-6 for solver studies; f32 stalls at ~7e-3 rel_res
+    # either way (gate velocities, not P).
+    cg_tol: float = 1e-4
     cg_maxiter: int = 200
+    # pressure-solve preconditioner: "jacobi" | "mg" (additive two-level:
+    # Galerkin coarse 9-point stencil on the bucket cell grid + V-cycle,
+    # ops/mg.py) | "mg_mult" (symmetrized multiplicative, 2 extra matvecs
+    # per iteration). mg requires the 2-D bucket layout, single-device.
+    precond: str = "mg"
 
     @property
     def dt_isph(self) -> float:
@@ -200,6 +213,16 @@ def make_step(cfg: ISPHWitchConfig, engine):
             def matvec(v):
                 return mv_off(v) + jnp.where(state.active, diag * v, 0.0)
 
+            M = lambda v: v / diag_safe
+            if (cfg.precond.startswith("mg")
+                    and getattr(engine, "layout", "flat") == "bucket"
+                    and engine.dim == 2):
+                from ..ops.mg import two_level_preconditioner
+                M = two_level_preconditioner(
+                    engine, state,
+                    lambda r: 2.0 * h**2 * vol * rDspline23(h, r),
+                    jnp.where(state.active, diag, 0.0), matvec, diag_safe,
+                    mode="mult" if cfg.precond == "mg_mult" else "add")
             b = jnp.where(state.active, -h**2 * f["div"] / dt, 0.0)
             # atol>0: on an exactly-static state div (and so b) is exactly 0
             # and the default atol=0 criterion can never be met — CG then
@@ -208,7 +231,7 @@ def make_step(cfg: ISPHWitchConfig, engine):
             # P=0. Any physical RHS is astronomically above this floor, so
             # tol governs real solves.
             P, cg_it, cg_res = pcg(
-                matvec, b, x0=f["P"], M=lambda v: v / diag_safe,
+                matvec, b, x0=f["P"], M=M,
                 tol=cfg.cg_tol, atol=1e-18, maxiter=cfg.cg_maxiter,
                 return_info=True)
         state = state.replace(

@@ -1,0 +1,209 @@
+"""Two-level / multigrid preconditioning for the ISPH pressure-Poisson solve.
+
+The reference solves the projection system with plain (optionally ILU —
+commented out) preconditioned CG (sph_jl/examples/collapse_dry_implicit.jl:
+222-231). Jacobi-CG iteration counts grow with domain size (73 iterations at
+the 208k witch, round-3 measurement), because CG must propagate the global
+pressure mode across ~1000 cells one hop per iteration. The TPU-native cure
+is a coarse-grid correction built on a structure the engine already has: the
+bucket cell grid.
+
+Key observation: with piecewise-constant-per-cell aggregation P
+(P[i, c] = 1 iff particle i lives in cell c), the Galerkin coarse operator
+A_c = Pᵀ A P of the SPH Poisson matrix is a **9-point stencil on the
+[ny, nx] cell grid** — A_ij couples only particles within kernel support,
+which the cell size bounds to adjacent cells. One windowed pair sweep over
+the resident layout (the same pad/slice stencil shifts the pair engine uses,
+zero gathers) yields the stencil weights; coarser levels follow by summing
+2×2 blocks (PWC aggregation again), and a geometric V-cycle with weighted-
+Jacobi smoothing approximates A_c⁻¹ in O(C) pad/shift work per apply.
+
+The preconditioner exposed to CG must be SPD and FIXED; two symmetric
+compositions of the coarse correction B = P·Vcycle(·)·Pᵀ with Jacobi are
+offered:
+
+    additive  ("add"):   M⁻¹ = B + D⁻¹                    (no extra matvec)
+    symmetric ("mult"):  x₁ = D⁻¹r; x₂ = x₁ + B(r − A x₁);
+                         M⁻¹r = x₂ + D⁻¹(r − A x₂)        (2 extra matvecs)
+
+Both are SPD for SPD A (the V-cycle with matched pre/post weighted-Jacobi
+smoothing is an SPD approximation of A_c⁻¹, and both compositions are
+symmetric by construction). All of it is jit-compatible: fixed shapes,
+lax-free Python loops unrolled over ~log2(C) levels at trace time.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["coarse_stencil_2d", "GridVcycle", "two_level_preconditioner"]
+
+_OFFSETS_2D = [(di, dj) for dj in (-1, 0, 1) for di in (-1, 0, 1)]
+
+
+def coarse_stencil_2d(engine, state, offdiag_w, diag):
+    """Galerkin coarse matrix of A on the bucket cell grid.
+
+    ``A_ij = offdiag_w(r_ij)`` for i≠j within kernel support plus ``diag``
+    on the diagonal; aggregation is piecewise-constant per cell. Returns
+    ``W`` of shape [3, 3, ny, nx] with
+
+        (A_c u)[c] = Σ_off W[1+dj, 1+di, c] · u[c + (di, dj)]
+
+    i.e. W[1+dj, 1+di, c] = Σ_{i∈c, j∈c+off} A_ij, and the particle
+    diagonal summed into the centre tap. One [cap, cap, C] windowed pair
+    sweep per offset — pad/slice shifts only, no gathers.
+
+    ``offdiag_w``: scalar function of the pair distance r (the ISPH
+    off-diagonal 2h²·vol·rDW(r) is distance-only; engine.h bounds support).
+    ``diag``: flat [slots] per-particle diagonal (h²L + free-surface
+    penalty), already zeroed on inactive rows by the caller.
+    """
+    if engine.dim != 2:
+        raise NotImplementedError("coarse_stencil_2d: 2-D bucket grids only")
+    nx, ny = engine.lims
+    cap, C = engine.cap, engine.num_cells
+    x = state.fields["x"]
+    dtype = x.dtype
+    h = jnp.asarray(engine.h, dtype)
+
+    Xr = engine.resident(x)                          # [cap, C+1, 2]
+    Ar = engine.resident(state.active)               # [cap, C+1]
+    Xp = Xr[:, :C]                                   # p-side: own cell
+    Ap = Ar[:, :C]
+    Xpad = engine.pad_resident(Xr)
+    Apad = engine.pad_resident(Ar)
+
+    taps = []
+    for (di, dj) in _OFFSETS_2D:
+        Xq = engine.slice_resident(Xpad, (di, dj))   # [cap, C, 2]
+        Aq = engine.slice_resident(Apad, (di, dj))   # [cap, C]
+        d = Xp[:, None] - Xq[None, :]                # [cap, cap, C, 2]
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        mask = Ap[:, None] & Aq[None, :] & (r <= h)
+        if di == 0 and dj == 0:
+            eye = jnp.eye(cap, dtype=bool)[:, :, None]
+            mask = mask & ~eye                       # i == j handled by diag
+        w = jnp.where(mask, offdiag_w(jnp.where(mask, r, 2.0 * h)), 0.0)
+        taps.append(jnp.sum(w, axis=(0, 1)))         # [C]
+    W = jnp.stack(taps, axis=0).reshape(3, 3, C)
+    # particle diagonal into the centre tap
+    Dc = jnp.sum(engine.resident(diag)[:, :C], axis=0)
+    W = W.at[1, 1].add(Dc)
+    return W.reshape(3, 3, ny, nx).astype(dtype)
+
+
+def _stencil_apply(W, u):
+    """(A_c u) for a [3, 3, ny, nx] stencil and [ny, nx] grid vector."""
+    ny, nx = u.shape
+    P = jnp.pad(u, ((1, 1), (1, 1)))
+    out = jnp.zeros_like(u)
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            out = out + W[1 + dj, 1 + di] * P[1 + dj:1 + dj + ny,
+                                              1 + di:1 + di + nx]
+    return out
+
+
+def _coarsen_stencil(W):
+    """Galerkin coarsening of a 9-point stencil under 2×2 PWC aggregation.
+
+    Fine cell (2J+b, 2I+a) reaching offset (dj, di) lands in coarse block
+    (J + (b+dj)//2, I + (a+di)//2) — still a 9-point stencil. Pads odd grids
+    with zero rows/columns (empty cells couple to nothing)."""
+    ny, nx = W.shape[2:]
+    ny2, nx2 = (ny + 1) // 2, (nx + 1) // 2
+    Wp = jnp.pad(W, ((0, 0), (0, 0), (0, 2 * ny2 - ny), (0, 2 * nx2 - nx)))
+    out = jnp.zeros((3, 3, ny2, nx2), W.dtype)
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            fine = Wp[1 + dj, 1 + di].reshape(ny2, 2, nx2, 2)
+            for b in (0, 1):
+                for a in (0, 1):
+                    # value sits at fine row (2J+b, 2I+a); its column offset
+                    # determines the coarse tap
+                    oj = (b + dj) // 2
+                    oi = (a + di) // 2
+                    out = out.at[1 + oj, 1 + oi].add(fine[:, b, :, a])
+    return out
+
+
+class GridVcycle:
+    """Geometric V-cycle for a 9-point stencil hierarchy on the cell grid.
+
+    Built once per operator refresh (``GridVcycle(W)`` precomputes the
+    Galerkin hierarchy); ``apply(r)`` runs one V(nu,nu) cycle from a zero
+    initial guess — a FIXED linear operation, so it is a valid CG
+    preconditioner. Empty cells (zero diagonal) are treated as identity
+    rows (their residual just passes through scaled)."""
+
+    def __init__(self, W, levels: int | None = None, nu: int = 2,
+                 omega: float = 0.7, coarse_iters: int = 24):
+        self.nu, self.omega, self.coarse_iters = nu, omega, coarse_iters
+        self.Ws = [W]
+        ny, nx = W.shape[2:]
+        maxl = 32 if levels is None else levels
+        while len(self.Ws) < maxl and min(ny, nx) > 4:
+            W = _coarsen_stencil(W)
+            ny, nx = W.shape[2:]
+            self.Ws.append(W)
+        self.dinvs = []
+        for Wl in self.Ws:
+            d = Wl[1, 1]
+            self.dinvs.append(jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, 0.0))
+
+    def _smooth(self, l, u, b, iters):
+        W, dinv, om = self.Ws[l], self.dinvs[l], self.omega
+        for _ in range(iters):
+            u = u + om * dinv * (b - _stencil_apply(W, u))
+        return u
+
+    def _cycle(self, l, b):
+        u = self.omega * self.dinvs[l] * b       # zero-guess pre-smooth
+        if l == len(self.Ws) - 1:
+            return self._smooth(l, u, b, self.coarse_iters)
+        u = self._smooth(l, u, b, self.nu - 1)
+        r = b - _stencil_apply(self.Ws[l], u)
+        ny, nx = r.shape
+        ny2, nx2 = self.Ws[l + 1].shape[2:]
+        rp = jnp.pad(r, ((0, 2 * ny2 - ny), (0, 2 * nx2 - nx)))
+        rc = rp.reshape(ny2, 2, nx2, 2).sum(axis=(1, 3))   # PWC restrict
+        ec = self._cycle(l + 1, rc)
+        ef = jnp.repeat(jnp.repeat(ec, 2, axis=0), 2, axis=1)[:ny, :nx]
+        u = u + ef                                          # PWC prolong
+        return self._smooth(l, u, b, self.nu)
+
+    def apply(self, r):
+        return self._cycle(0, r)
+
+
+def two_level_preconditioner(engine, state, offdiag_w, diag, matvec,
+                             diag_safe, mode: str = "add", **vkw):
+    """Build M⁻¹ for the ISPH pressure CG: coarse V-cycle correction on the
+    bucket cell grid combined with Jacobi (module docstring for the two
+    symmetric compositions). ``matvec`` must be the SAME operator CG solves
+    with (active-masked); ``mode`` is "add" (B + D⁻¹, no extra matvec) or
+    "mult" (symmetrized Jacobi–coarse–Jacobi, 2 extra matvecs). Returns the
+    preconditioner apply."""
+    W = coarse_stencil_2d(engine, state, offdiag_w, diag)
+    vc = GridVcycle(W, **vkw)
+    cap, C = engine.cap, engine.num_cells
+    nx, ny = engine.lims
+    act = state.active
+
+    def coarse(r):
+        rc = jnp.sum(engine.resident(jnp.where(act, r, 0.0))[:, :C],
+                     axis=0).reshape(ny, nx)
+        ec = vc.apply(rc).reshape(C)
+        z = jnp.pad(ec, (0, 1))[None, :].repeat(cap, axis=0).reshape(-1)
+        return jnp.where(act, z, 0.0)
+
+    if mode == "add":
+        return lambda r: coarse(r) + r / diag_safe
+
+    def apply(r):
+        x = r / diag_safe
+        x = x + coarse(r - matvec(x))
+        return x + (r - matvec(x)) / diag_safe
+
+    return apply
