@@ -804,6 +804,54 @@ def wave_momentum_flux(cfg: LegacyConfig, z0: float, dz: float,
     return diag
 
 
+def wave_momentum_flux_binned(cfg: LegacyConfig, z0: float, dz: float,
+                              tag: str = "wave_flux", x_window: float = 15e3,
+                              bin_w: float = 1000.0, bin_h: float = 400.0):
+    """Scale-filtered EP flux: ``wave_momentum_flux`` computed from BINNED
+    mean fields instead of raw particles — D(z₀) = −Σ_b M_b·ū′_b·w̄_b / dz
+    with mass-weighted means over a 2-D grid of bins (``bin_w`` wide in x,
+    ``bin_h`` tall in z) tiling the band.
+
+    Why: the flux noise is EDDY momentum flux — the lattice floor sliding
+    under the flow ("washboard", CLAUDE.md) continuously regenerates
+    turbulence with u′ up to ~100 m/s at scales of a few dr, and Monaghan
+    AV cannot remove it without damping the wave source region too
+    (measured round 4: α = 0.05 leaves u_max 50–200 m/s AND reads flux
+    ≈ 0). The wave, by contrast, lives at horizontal scales ≥ a (5 km in
+    the linear-drag experiment). Binning is a top-hat Reynolds filter:
+    the product of FILTERED fields keeps only structure correlated across
+    a whole bin, so sub-bin eddy flux averages out (σ ∝ √n_bins instead
+    of √N_particles) while the resolved wave passes through with
+    O((bin_w/a)²) + O((m·bin_h)²/12) bias — bins must stay ≪ a
+    horizontally and ≪ λ_z = 2πU/N vertically (a z-bin spanning ≳1 rad of
+    wave phase multiplies phase-averaged factors and biases LOW; that is
+    also why the band can be thick: z-sub-binning keeps the phase
+    resolved). Gated against the analytic solution alongside the raw
+    observable (tests/test_legacy.py)."""
+    nbx = int(round(2 * x_window / bin_w))
+    nbz = max(1, int(round(dz / bin_h)))
+
+    def diag(state: ParticleState) -> dict:
+        f = state.fields
+        y = f["x"][:, 1]
+        sel = (state.active & (f["type"] == FLUID)
+               & (y >= z0 - dz / 2) & (y < z0 + dz / 2)
+               & (jnp.abs(f["x"][:, 0]) <= x_window))
+        m = jnp.where(sel, f["m"], 0.0)
+        bx = jnp.clip(((f["x"][:, 0] + x_window) / bin_w).astype(jnp.int32),
+                      0, nbx - 1)
+        bz = jnp.clip(((y - (z0 - dz / 2)) / (dz / nbz)).astype(jnp.int32),
+                      0, nbz - 1)
+        b = bx * nbz + bz
+        nb = nbx * nbz
+        sm = jnp.zeros(nb, m.dtype).at[b].add(m)
+        su = jnp.zeros(nb, m.dtype).at[b].add(m * (f["v"][:, 0] - cfg.U_max))
+        sw = jnp.zeros(nb, m.dtype).at[b].add(m * f["v"][:, 1])
+        sm_safe = jnp.maximum(sm, 1e-30)
+        return {tag: -jnp.sum(su * sw / sm_safe) / dz}
+    return diag
+
+
 def run(cfg: LegacyConfig, out_path: str | None = None, verbose: bool = False,
         packing: bool = False, capacity_factor: float = 1.3,
         extra_diag=None):

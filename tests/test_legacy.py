@@ -261,6 +261,48 @@ def test_wave_momentum_flux_reads_linear_drag():
     diag_w = lw.wave_momentum_flux(cfg, z0=z0, dz=n_band * dr, x_window=3 * a)
     np.testing.assert_allclose(float(diag_w(state)["wave_flux"]), D_lin,
                                rtol=0.10)
+    # the scale-filtered (x-binned Reynolds filter) observable reads the
+    # same resolved wave flux: bin_w = 1 km ≪ a = 5 km → O((bin_w/a)²)
+    # bias on the wave, while sub-bin eddy flux (the washboard noise the
+    # raw observable drowns in) averages out. Production geometry: 2-km
+    # band (20 rows), 1-km bins → ~200 particles/bin; iid-noise σ scales
+    # as m·σ²_u·√n_bin/dz — ~14x below the raw observable's √N_tot/dz.
+    n_thick = 20
+    zs_t = z0 + (np.arange(n_thick) - (n_thick - 1) / 2) * dr
+    xx_t, zz_t = np.meshgrid(xs, zs_t)
+    denom_t = a**2 + xx_t**2
+    zeta_x_t = h_m * a * (-np.sin(m_w * zz_t) * denom_t
+                          - 2 * xx_t * (a * np.cos(m_w * zz_t)
+                                        - xx_t * np.sin(m_w * zz_t))) / denom_t**2
+    zeta_z_t = h_m * a * m_w * (-a * np.sin(m_w * zz_t)
+                                - xx_t * np.cos(m_w * zz_t)) / denom_t
+    n_t = xx_t.size
+    fields_t = {
+        "x": jnp.asarray(np.stack([xx_t.ravel(), zz_t.ravel()], -1)),
+        "v": jnp.asarray(np.stack([U - U * zeta_z_t.ravel(),
+                                   U * zeta_x_t.ravel()], -1)),
+        "m": jnp.full(n_t, rho * dr * dr),
+        "type": jnp.zeros(n_t),
+    }
+    state_t = ParticleState(fields=fields_t, active=jnp.ones(n_t, bool))
+    diag_b = lw.wave_momentum_flux_binned(cfg, z0=z0, dz=n_thick * dr,
+                                          x_window=3 * a, bin_w=1000.0)
+    np.testing.assert_allclose(float(diag_b(state_t)["wave_flux"]), D_lin,
+                               rtol=0.10)
+    # and it filters: superimpose zero-mean lattice-scale noise with
+    # sigma_u >> wave amplitude; the binned reading stays near D_lin while
+    # the raw one on the same state is swamped
+    rng = np.random.default_rng(7)
+    noise = 30.0 * rng.standard_normal((n_t, 2))
+    state_n = ParticleState(
+        fields={**fields_t, "v": fields_t["v"] + jnp.asarray(noise)},
+        active=jnp.ones(n_t, bool))
+    diag_w_t = lw.wave_momentum_flux(cfg, z0=z0, dz=n_thick * dr,
+                                     x_window=3 * a)
+    D_b_noisy = float(diag_b(state_n)["wave_flux"])
+    D_raw_noisy = float(diag_w_t(state_n)["wave_flux"])
+    assert abs(D_b_noisy - D_lin) < 0.5 * D_lin
+    assert abs(D_b_noisy - D_lin) < 0.4 * abs(D_raw_noisy - D_lin)
 
 
 def test_adiabatic_mass_expansion():
