@@ -49,7 +49,7 @@ from ..structs import ParticleState
 
 __all__ = ["BucketDomainSharding", "BucketShardEngine",
            "build_bucket_sharding", "balanced_col_starts",
-           "shard_state_bucket", "make_bucket_runner",
+           "shard_state_bucket", "make_bucket_runner", "make_owned_counts",
            "gather_state_bucket", "pick_slab_axis",
            "save_checkpoint_bucket", "load_checkpoint_bucket"]
 
@@ -884,3 +884,18 @@ def make_bucket_runner(bds: BucketDomainSharding, mesh: Mesh, make_step,
         return s / jnp.maximum(n, 1), vmax, n
 
     return run_frame, jax.jit(_diag)
+
+
+def make_owned_counts(bds: BucketDomainSharding, mesh: Mesh):
+    """[n_dev] per-device owned-active particle counts — the load-imbalance
+    monitor for drift-triggered rebalancing. One cheap jitted shard_map
+    (no collectives: each device reports its own scalar)."""
+    seng = BucketShardEngine(bds)
+    spec = P("x")
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    def _counts(state: ParticleState):
+        owned = jnp.asarray(seng.owned_flat) & state.active
+        return jnp.sum(owned, dtype=jnp.int32)[None]
+
+    return jax.jit(_counts)

@@ -86,6 +86,7 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
                              checkpoint_every: int | None = None,
                              resume: str | None = None,
                              balance: bool = False,
+                             rebalance_factor: float | None = None,
                              verbose: bool = False):
     """Production multi-chip mountain-wave run: the slab-local bucket
     decomposition (parallel/bucket.py — per-device memory ∝ 1/n_dev, Pallas
@@ -113,9 +114,21 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
     ones (parallel/bucket.py balanced_col_starts) — step time under
     synchronous collectives is the max over devices, so this is the lever
     for nonuniform workloads. Chosen from the rows actually sharded, so
-    ``resume`` + ``balance`` REBALANCES a drifted run."""
-    from .bucket import (build_bucket_sharding, gather_state_bucket,
-                         load_checkpoint_bucket, make_bucket_runner,
+    ``resume`` + ``balance`` REBALANCES a drifted run.
+
+    ``rebalance_factor``: drift-triggered AUTOMATIC rebalancing — after
+    each frame a [n_dev] owned-count monitor (``make_owned_counts``, one
+    cheap shard_map) checks max/mean imbalance; past the factor the run
+    round-trips through the in-memory compact state (gather owned rows →
+    fresh ``balanced_col_starts`` → re-shard) exactly like resume+balance,
+    without touching disk. Each trigger re-builds the runners (the
+    partition tables are compile-time constants), so a rebalance costs one
+    re-trace/compile — cheap on the CPU mesh, minutes on the tunneled TPU;
+    the 1.5-ish factor keeps events rare. Implies balanced partitions from
+    the start when combined with ``balance=True`` (recommended)."""
+    from .bucket import (balanced_col_starts, build_bucket_sharding,
+                         gather_state_bucket, load_checkpoint_bucket,
+                         make_bucket_runner, make_owned_counts,
                          save_checkpoint_bucket, shard_state_bucket)
 
     if model is None:
@@ -147,25 +160,24 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
     # the partition is chosen from the rows actually being sharded (resume
     # rows / setup-transformed rows), so a resumed run REBALANCES to the
     # drifted distribution — the compact checkpoint is the rebalance path
+    min_first = 0
+    if (slab_axis == 0 and getattr(cfg, "flow", False)
+            and getattr(cfg, "max_spawn", 0)):
+        # inflow recycling: the spawn is written into an owned slot of
+        # the device that owns the CONVERTING column (x ≈ domain edge),
+        # and its new position x − bc_width bins up to bc_width left of
+        # that — device 0 must own the whole respawn zone or the spawn
+        # is silently lost at the next rescatter (no ghost block ever
+        # carries an interior slot to the neighbor). Clamp the first
+        # balanced slab to cover [grid origin .. edge column] + one
+        # skin-drift safety column.
+        g = sys.engine
+        edge = -cfg.dom_length / 2 + cfg.U_max * cfg.dt
+        edge_col = int(np.floor(edge / float(np.asarray(g.cell_size)[0]))
+                       - int(np.asarray(g.phase)[0]))
+        min_first = edge_col + 2
     col_starts = None
     if balance:
-        from .bucket import balanced_col_starts
-        min_first = 0
-        if (slab_axis == 0 and getattr(cfg, "flow", False)
-                and getattr(cfg, "max_spawn", 0)):
-            # inflow recycling: the spawn is written into an owned slot of
-            # the device that owns the CONVERTING column (x ≈ domain edge),
-            # and its new position x − bc_width bins up to bc_width left of
-            # that — device 0 must own the whole respawn zone or the spawn
-            # is silently lost at the next rescatter (no ghost block ever
-            # carries an interior slot to the neighbor). Clamp the first
-            # balanced slab to cover [grid origin .. edge column] + one
-            # skin-drift safety column.
-            g = sys.engine
-            edge = -cfg.dom_length / 2 + cfg.U_max * cfg.dt
-            edge_col = int(np.floor(edge / float(np.asarray(g.cell_size)[0]))
-                           - int(np.asarray(g.phase)[0]))
-            min_first = edge_col + 2
         col_starts = balanced_col_starts(
             sys, n_dev, slab_axis,
             host_x=host["x"] if host is not None else None,
@@ -181,9 +193,16 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
     else:
         n_steps = steps_per_frame * (n_frames or 1)
 
-    run_frame, diag = make_bucket_runner(
-        bds, mesh, lambda eng: w.make_step(cfg, eng), steps_per_frame,
-        finalize=w.make_finalize(cfg) if cfg.lazy_diagnostics else None)
+    def _runners(bds_):
+        rf, dg = make_bucket_runner(
+            bds_, mesh, lambda eng: w.make_step(cfg, eng), steps_per_frame,
+            finalize=w.make_finalize(cfg) if cfg.lazy_diagnostics else None)
+        cf = (make_owned_counts(bds_, mesh)
+              if rebalance_factor and n_dev > 1 else None)
+        return rf, dg, cf
+
+    run_frame, diag, counts_fn = _runners(bds)
+    n_rebalances = 0
 
     out = None
     if out_path:
@@ -207,6 +226,27 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
         if verbose:
             print(f"t = {ts[-1]:.3f}  n = {ns[-1]}  u_avg = {u_avgs[-1]:.4e}  "
                   f"u_max = {u_maxs[-1]:.4e}")
+        if counts_fn is not None:
+            c = np.asarray(counts_fn(state))
+            imb = float(c.max()) / max(float(c.mean()), 1.0)
+            if imb > rebalance_factor:
+                # drift-triggered rebalance: in-memory compact round-trip
+                # (the disk-free analogue of resume+balance)
+                hstate = gather_state_bucket(bds, state)
+                act = np.asarray(hstate.active)
+                rows = {k: np.asarray(v)[act]
+                        for k, v in hstate.fields.items() if k != "_xref"}
+                col_starts = balanced_col_starts(
+                    sys, n_dev, slab_axis, host_x=rows["x"],
+                    min_first_width=min_first)
+                bds = build_bucket_sharding(sys, n_dev, slab_axis=slab_axis,
+                                            col_starts=col_starts)
+                state = shard_state_bucket(bds, sys, mesh, host=rows)
+                run_frame, diag, counts_fn = _runners(bds)
+                n_rebalances += 1
+                if verbose:
+                    print(f"rebalanced (imbalance {imb:.2f}) -> "
+                          f"col_starts {col_starts}")
         ckpt_due = (checkpoint_every and out_path
                     and frame % checkpoint_every == 0)
         # one device->host gather feeds both the frame and the checkpoint
@@ -231,6 +271,7 @@ def run_sharded_witch_bucket(cfg, n_dev: int | None = None,
         plot_velocities(out.path, ts, u_avgs, u_maxs)
     return {"t": np.asarray(ts), "u_avg": np.asarray(u_avgs),
             "u_max": np.asarray(u_maxs), "n": np.asarray(ns),
+            "n_rebalances": n_rebalances,
             "state": state, "system": sys, "sharding": bds, "mesh": mesh}
 
 

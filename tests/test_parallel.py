@@ -586,3 +586,68 @@ def test_balanced_owned_flat_host_side_contract():
     slots_per_col = counts[0] // widths[0]
     assert slots_per_col > 0
     np.testing.assert_array_equal(counts, widths * slots_per_col)
+
+
+def test_drift_triggered_auto_rebalance():
+    """Drift-triggered automatic rebalancing (round-4): a compressing cloud
+    run through the PRODUCTION runner (run_sharded_witch_bucket with
+    rebalance_factor) must (a) trigger at least one mid-run rebalance as
+    the owned-count imbalance crosses the factor, (b) conserve particles,
+    and (c) reproduce the never-rebalanced trajectory to the compact
+    re-shard tolerance (rows re-place by position; only reduction order
+    changes)."""
+    import dataclasses
+    import types
+
+    import jax.numpy as jnp
+
+    from sph_mountain_waves_tpu import ParticleSystem, Rectangle
+    from sph_mountain_waves_tpu.ops.apply import apply_unary
+    from sph_mountain_waves_tpu.parallel.run import run_sharded_witch_bucket
+
+    @dataclasses.dataclass(frozen=True)
+    class Cfg:
+        layout: str = "bucket"
+        t_end: float = 1.2
+        dt: float = 0.05
+        n_frames: int = 8
+        lazy_diagnostics: bool = False
+
+    def make_system(cfg):
+        dom = Rectangle(0.0, 0.0, 8.0, 8.0)
+        sys = ParticleSystem(fields={"x": 2, "v": 2}, domain=dom, h=0.25,
+                             dim=2, dtype=jnp.float64)
+        rng = np.random.default_rng(5)
+        xs = np.stack([rng.uniform(0.6, 7.4, size=600),
+                       rng.uniform(0.6, 7.4, size=600)], axis=-1)
+        # compression along the SLAB axis: this toy domain's x-grid rounds
+        # to one 128-lane quantum, so pick_slab_axis slabs y — drive the
+        # y-distribution toward y = 1.2 so the owned-count imbalance grows
+        # (an x-compression would never change y-slab ownership at all)
+        vs = np.stack([np.zeros(600), -0.9 * (xs[:, 1] - 1.2)], axis=-1)
+        sys.add_particles(xs, {"v": vs})
+        sys.freeze_opts = dict(layout="bucket", skin=0.3, cap=32)
+        return sys
+
+    def make_step(cfg, engine):
+        def step(state):
+            state = apply_unary(state, lambda u: {"x": u.x + cfg.dt * u.v})
+            state, _ = engine.rebuild(state)
+            return state
+        return step
+
+    model = types.SimpleNamespace(
+        make_system=make_system, make_step=make_step,
+        EXPORT_VARS=("v",), make_finalize=lambda cfg: None)
+
+    cfg = Cfg()
+    base = run_sharded_witch_bucket(cfg, n_dev=4, model=model, balance=True)
+    auto = run_sharded_witch_bucket(cfg, n_dev=4, model=model, balance=True,
+                                    rebalance_factor=1.35)
+    assert auto["n_rebalances"] >= 1
+    np.testing.assert_array_equal(auto["n"], base["n"])
+    assert auto["n"][-1] == 600
+    np.testing.assert_allclose(auto["u_avg"], base["u_avg"], rtol=1e-10)
+    np.testing.assert_allclose(auto["u_max"], base["u_max"], rtol=1e-10)
+    # and the final partition is genuinely different from the boot one
+    assert auto["sharding"].col_starts != base["sharding"].col_starts

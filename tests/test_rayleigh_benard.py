@@ -113,3 +113,53 @@ def test_nusselt_ra1e4_published_value():
     out = rb.run(cfg)
     nu = float(np.mean(out["Nu"][-8:]))
     assert abs(nu / 2.158 - 1.0) < 0.15, nu
+
+
+def test_rkpm_conduction_exact_at_walls():
+    """conduction="rkpm" (round-4): on the boot lattice with a quadratic
+    T-profile, the RKPM Laplacian reads kappa*lap(T) exactly EVERYWHERE —
+    including fluid rows adjacent to the plates and the adiabatic
+    sidewalls, where the cleary form is inconsistent (sidewall rows are
+    excluded from its sum with no compensation). Also: no quadrature
+    factor — the correction absorbs the 0.974 lattice bias."""
+    import jax
+
+    from sph_mountain_waves_tpu.utils.rkpm import corrected_laplacian
+
+    cfg = rb.Config(n_rows=20, aspect=1.0, Ra=1e-3, beta=1e-8,
+                    seed_amp=0.0, sidewalls="adiabatic", dtype="float64")
+    sys = rb.make_system(cfg)
+    a2, b1 = 0.35, -0.2
+    for chunk in sys._chunks:
+        y = chunk["x"][:, 1]
+        chunk["T"] = 0.7 + b1 * y + a2 * y * y  # quadratic: lap = 2*a2
+    st = sys.freeze()
+    eng = sys.engine
+    st, nbrs = jax.jit(eng.rebuild)(st)
+    f = st.fields
+    inc = st.active & (np.asarray(f["type"]) != rb.WALL_ADIA)
+    import jax.numpy as jnp
+    lap = np.asarray(corrected_laplacian(
+        eng, st, nbrs, f["T"], include_q=jnp.asarray(inc),
+        vol_of=lambda q: cfg.m / jnp.maximum(q.rho, 1e-30)))
+    act = np.asarray(st.active)
+    fl = act & (np.asarray(f["type"]) == rb.FLUID)
+    # every fluid row, including the ones hugging plates and sidewalls
+    np.testing.assert_allclose(lap[fl], 2 * a2, rtol=5e-3, atol=1e-5)
+
+
+def test_rkpm_conduction_short_run_stable():
+    """Short supercritical run with conduction="rkpm": finite, bounded T
+    (the RKPM Laplacian is not an M-matrix — guard against instability),
+    and the seeded roll still grows."""
+    out = rb.run(rb.Config(n_rows=16, Ra=1e6, t_end=8.0, n_frames=8,
+                           conduction="rkpm"))
+    T = np.asarray(out["state"].fields["T"])[np.asarray(out["state"].active)]
+    assert np.isfinite(T).all()
+    assert T.min() > -0.7 and T.max() < 1.7
+    assert np.all(np.isfinite(out["KE"]))
+    # the seeded roll grows out of the early transient dip into convection
+    # (measured: KE ≈ 0.013 at frame 2 → 0.39 at frame 8, matching cleary
+    # to ~0.3% — the correction changes the boundary operator, not the
+    # bulk dynamics)
+    assert out["KE"][-1] > 10 * out["KE"][2]

@@ -57,3 +57,32 @@ def test_rkpm_isolated_particle_is_finite():
     sys, state, nbrs = make_lattice(dr=0.4, h=0.3)  # spacing > h: no pairs
     beta = np.asarray(rkpm.correction_vector(sys.engine, state, nbrs))
     assert np.isfinite(beta).all()
+
+
+def test_rkpm_laplacian_exact_on_quadratics_at_boundary():
+    """The quadratic-consistent Laplacian reads ∇²f exactly everywhere —
+    including edge/corner rows with one-sided neighborhoods, where the
+    Brookshaw/Cleary form is inconsistent (the RB thermal-BC deficit)."""
+    sys, state, nbrs = make_lattice()
+    x = np.asarray(state.fields["x"])
+    f = 3.0 + 2.0 * x[:, 0] - 1.5 * x[:, 1] \
+        + 4.0 * x[:, 0] ** 2 + 0.5 * x[:, 1] ** 2 - 2.0 * x[:, 0] * x[:, 1]
+    lap = np.asarray(rkpm.corrected_laplacian(sys.engine, state, nbrs, f))
+    act = np.asarray(state.active)
+    np.testing.assert_allclose(lap[act], 2 * 4.0 + 2 * 0.5,
+                               rtol=2e-3, atol=1e-4)
+
+
+def test_rkpm_laplacian_restricted_neighborhood():
+    """``include_q`` restricts BOTH the moment matrix and the sum: with the
+    right half of the lattice excluded, left-half particles still read the
+    exact Laplacian from their one-sided neighborhoods."""
+    sys, state, nbrs = make_lattice()
+    x = np.asarray(state.fields["x"])
+    f = 1.0 + x[:, 0] ** 2 + 2.0 * x[:, 1] ** 2
+    import jax.numpy as jnp
+    inc = jnp.asarray(x[:, 0] < 0.5) & state.active
+    lap = np.asarray(rkpm.corrected_laplacian(sys.engine, state, nbrs, f,
+                                              include_q=inc))
+    sel = np.asarray(state.active) & (x[:, 0] < 0.5)
+    np.testing.assert_allclose(lap[sel], 6.0, rtol=2e-3, atol=1e-4)
