@@ -98,9 +98,28 @@ def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
     fb_hi = lw.wave_momentum_flux_binned(cfg, z0=5.5e3, dz=2e3, tag="fb_hi",
                                          x_window=3 * a)
 
+    def wind_taps(state):
+        # upstream mean-wind profile (x in [-25, -15] km — ahead of the
+        # ridge): names the generation deficit if the washboard floor
+        # maintains a slowed near-surface layer (the wave is forced by
+        # U at ridge height, not the nominal 20 m/s)
+        f = state.fields
+        sel0 = (state.active & (f["type"] == lw.FLUID)
+                & (f["x"][:, 0] > -25e3) & (f["x"][:, 0] < -15e3))
+        out = {}
+        y = f["x"][:, 1]
+        import jax.numpy as jnp
+        for z in (150, 450, 900, 1500, 3000, 6000):
+            sel = sel0 & (jnp.abs(y - z) < 150)
+            w = sel.astype(f["v"].dtype)
+            out[f"u{z}"] = (jnp.sum(w * f["v"][:, 0])
+                            / jnp.maximum(jnp.sum(w), 1.0))
+        return out
+
     def diag(state):
         return {**lw.mountain_force(state), **flux_lo(state),
-                **flux_hi(state), **fb_lo(state), **fb_hi(state)}
+                **flux_hi(state), **fb_lo(state), **fb_hi(state),
+                **wind_taps(state)}
 
     t0 = time.time()
     res = lw.run(cfg, verbose=verbose, extra_diag=diag)

@@ -202,10 +202,23 @@ def make_step(cfg: ISPHWitchConfig, engine):
                 out = mv_off(refresh(v)) + diag * v
                 return jnp.where(owned, out, 0.0)
 
+            M = lambda v: v / diag_safe
+            if (cfg.precond.startswith("mg")
+                    and getattr(engine, "layout", "flat") == "bucket"
+                    and engine.dim == 2):
+                # per-slab additive Schwarz with the local coarse grid
+                # (ghost cells = overlap); collective-free, SPD — the
+                # distributed flavor of the single-device two-level M
+                from ..ops.mg import two_level_preconditioner
+                M = two_level_preconditioner(
+                    engine, state,
+                    lambda r: 2.0 * h**2 * vol * rDspline23(h, r),
+                    jnp.where(state.active, diag, 0.0), matvec, diag_safe,
+                    mode="add", mask=owned)
             b = jnp.where(owned, -h**2 * f["div"] / dt, 0.0)
             P, cg_it, cg_res = pcg(
                 matvec, b, x0=jnp.where(owned, f["P"], 0.0),
-                M=lambda v: v / diag_safe, tol=cfg.cg_tol,
+                M=M, tol=cfg.cg_tol,
                 maxiter=cfg.cg_maxiter, axis=engine.axis, return_info=True)
             # the pressure-gradient sweep below reads ghost P
             P = refresh(jnp.where(owned, P, 0.0))

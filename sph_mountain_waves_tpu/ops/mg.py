@@ -178,18 +178,26 @@ class GridVcycle:
 
 
 def two_level_preconditioner(engine, state, offdiag_w, diag, matvec,
-                             diag_safe, mode: str = "add", **vkw):
+                             diag_safe, mode: str = "add", mask=None,
+                             **vkw):
     """Build M⁻¹ for the ISPH pressure CG: coarse V-cycle correction on the
     bucket cell grid combined with Jacobi (module docstring for the two
     symmetric compositions). ``matvec`` must be the SAME operator CG solves
     with (active-masked); ``mode`` is "add" (B + D⁻¹, no extra matvec) or
     "mult" (symmetrized Jacobi–coarse–Jacobi, 2 extra matvecs). Returns the
-    preconditioner apply."""
+    preconditioner apply.
+
+    ``mask`` (default ``state.active``): the CG vector space. A sharded
+    caller passes ``owned & active`` — the correction then acts per slab
+    (the coarse grid is the LOCAL slab grid, ghost cells included as
+    overlap): additive-Schwarz-with-coarse, collective-free, still SPD.
+    Use mode="add" there — "mult" consumes the global matvec twice per
+    apply."""
     W = coarse_stencil_2d(engine, state, offdiag_w, diag)
     vc = GridVcycle(W, **vkw)
     cap, C = engine.cap, engine.num_cells
     nx, ny = engine.lims
-    act = state.active
+    act = state.active if mask is None else mask
 
     def coarse(r):
         rc = jnp.sum(engine.resident(jnp.where(act, r, 0.0))[:, :C],
