@@ -39,12 +39,16 @@ NORTH_STAR = 1e8  # particle-steps/s/chip at 1M (BASELINE.json)
 def parse_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=float, default=1e6)
-    # 100 steps per timed scan: the axon tunnel costs ~30 ms per
-    # dispatch+sync round trip, which at 20 steps inflates the per-step
-    # time by ~1.5 ms (~25%!). Production frames run hundreds of steps
-    # per scan; 100 amortizes the fixed host latency to noise while
-    # keeping a timed repeat under a second at 1M.
-    ap.add_argument("--steps", type=int, default=100)
+    # Steps per timed scan. The axon tunnel costs ~25-30 ms per
+    # dispatch+sync round trip and there is NO true per-iteration scan
+    # cost (round-4 probes, scripts/scan_floor_probe.py: identity scans
+    # at L = 16/128/1024 all cost the same ~26 ms TOTAL, scalar or 1M
+    # carry — the round-3 "0.33 ms/iter floor" was this fixed cost
+    # divided by a 100-step scan). Default 0 = auto: enough steps that
+    # the round trip is < 2% of the measurement (100 at 1M, 400-800 at
+    # small N). Production frames run hundreds of steps per scan, and
+    # real (untunneled) TPU hosts have no such latency at all.
+    ap.add_argument("--steps", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skin", type=float, default=0.15)
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
@@ -90,6 +94,13 @@ def run_once(args, use_pallas: bool):
     sys_ = w.make_system(cfg)
     state = sys_.freeze()
     step = w.make_step(cfg, sys_.engine)
+    if not args.steps:
+        # auto scan length: keep the fixed ~30 ms tunnel round trip < 2%
+        # of the timed chunk (expected step time ~ n/2e8 s; scan compiles
+        # the body once, so longer scans cost no extra compile)
+        est_step_s = max(sys_.n_built / 2.0e8, 2e-4)
+        args.steps = int(min(2000, max(100, round(1.5 / est_step_s / 100)
+                                       * 100)))
     run_frame = frame_runner(step, args.steps,
                              finalize=w.make_finalize(cfg))
 

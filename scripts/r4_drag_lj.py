@@ -1,0 +1,55 @@
+"""Round-4 lj_floor linear-drag run: analytic smooth floor (free-slip,
+washboard-free). Surface drag observable = lj_floor_drag reaction; flux
+bands as before. h_m=600 (best signal), alpha=0."""
+import sys
+sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/scripts")
+import numpy as np
+from sph_mountain_waves_tpu.models import legacy_witch as lw
+import linear_drag
+
+
+def run_lj():
+    import time
+    ref = lw.adiabatic_flow_config()
+    N_ref = ref.g / float(np.sqrt(ref.cp * ref.T0))
+    n_rows, h_m, a, t_end = 200, 600.0, 5e3, 3000.0
+    cfg = lw.adiabatic_flow_config(
+        n_rows=n_rows, dom_height=20e3, dom_length=60e3, z_b=8e3,
+        h_m=h_m, a=a, t_end=t_end, n_frames=100, dtype="float32",
+        use_pallas=True, fast_math=True,
+        true_rayleigh=True, consistent_entropy=True,
+        sponge_gamma=0.5 * N_ref, lattice_cells=True, lj_floor=True,
+        outflow_buffer=6.0 * 1.8 * (20e3 / n_rows))
+    N_bv = cfg.g / float(np.sqrt(cfg.cp * cfg.T0))
+    D_lin = (np.pi / 4) * cfg.rho0 * N_bv * cfg.U_max * cfg.h_m**2
+    print(f"LJ dr={cfg.dr:.0f} dt={cfg.dt:.4e} D_lin={D_lin:.4g}", flush=True)
+    fb_lo = lw.wave_momentum_flux_binned(cfg, z0=3e3, dz=2e3, tag="fb_lo",
+                                         x_window=3 * a)
+    fb_hi = lw.wave_momentum_flux_binned(cfg, z0=5.5e3, dz=2e3, tag="fb_hi",
+                                         x_window=3 * a)
+    ljd = lw.lj_floor_drag(cfg)
+
+    def diag(state):
+        return {**ljd(state), **fb_lo(state), **fb_hi(state)}
+
+    t0 = time.time()
+    res = lw.run(cfg, verbose=True, extra_diag=diag)
+    wall = time.time() - t0
+    k0 = int(len(res["t"]) * 0.6)
+    Db_lo = float(np.mean(np.asarray(res["fb_lo"])[k0:]))
+    Db_hi = float(np.mean(np.asarray(res["fb_hi"])[k0:]))
+    D_sfc = float(np.mean(np.asarray(res["drag"])[k0:]))
+    sem = float(0.5 * (np.std(np.asarray(res["fb_lo"])[k0:])
+                       + np.std(np.asarray(res["fb_hi"])[k0:]))
+                / np.sqrt(len(res["t"]) - k0))
+    line = (f"RESULT lj_drag n={int(res['state'].n)} h_m={h_m} "
+            f"Db_lo={Db_lo:.4g} Db_hi={Db_hi:.4g} D_sfc={D_sfc:.4g} "
+            f"D_lin={D_lin:.4g} ratio={(0.5*(Db_lo+Db_hi))/D_lin:.3f}"
+            f"+-{sem/D_lin:.3f} sfc_ratio={D_sfc/D_lin:.3f} wall={wall:.0f}s")
+    print(line, flush=True)
+    with open("/tmp/linear_drag.log", "a") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    run_lj()

@@ -26,7 +26,7 @@ isothermal_flow_witch.jl:20-80,96-186,200-230; adiabatic_static_witch.jl
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -157,6 +157,27 @@ class LegacyConfig:
     # u_avg 19.4 < U and flux −0.10·D_lin; the gate preserves AV's
     # noise win, σ 2.6→0.4·D_lin per frame).
     av_alpha: float = 0.0
+    # Smooth analytic floor (round-4). The frozen MOUNTAIN/ground lattice
+    # exerts a streamwise "washboard" pressure force on the sliding fluid
+    # (~650× the linear wave drag at hₘ=300 m) that continuously
+    # regenerates lattice-scale turbulence — AV cannot remove it without
+    # damping the wave source (measured, BENCHMARKS.md round-4 campaign).
+    # lj_floor=True removes the terrain PARTICLES entirely (no MOUNTAIN
+    # rows, no ground fence) and replaces them with a Lennard-Jones-style
+    # repulsion from the ANALYTIC witch surface y = h(x) — the same wall
+    # closure the reference uses in collapse_symplectic.jl:119-122, but
+    # evaluated against the smooth curve instead of particles: free-slip,
+    # washboard-free, exactly the boundary condition linear wave theory
+    # assumes. a_LJ = D·((r0/d)⁴ − (r0/d)²)·n̂ for the surface gap
+    # d = (y − h(x))·cos θ < r0, n̂ the unit surface normal. Defaults:
+    # r0 = dr, D = R·T0/dr — the acceleration that supports the full
+    # hydrostatic column weight at (r0/d) ≈ 1.27, so the bottom row rides
+    # at d ≈ 0.8·dr (ω_LJ·dt ≈ 0.08 at the linear-drag config: stable).
+    # The reaction −Σ m·a_LJ is a CLEAN surface-drag observable
+    # (lj_floor_drag). Flow variants only.
+    lj_floor: bool = False
+    lj_r0: float | None = None
+    lj_D: float | None = None
     # isothermal files use cp = 7·R_gas/2 (isothermal_static_witch.jl:43 —
     # the universal constant, unlike current/ which uses R_mass);
     # adiabatic files use cp = 7·R_mass/2 (adiabatic_static_witch.jl:50)
@@ -248,8 +269,20 @@ def make_system(cfg: LegacyConfig) -> ParticleSystem:
         import_particles(sys, cfg.init_vtp)
     else:
         gen = partial(generate_particles, sys, grid)
-        gen(domain - mountain, lambda xs: {"type": FLUID})
-        gen(mountain, lambda xs: {"type": MOUNTAIN})
+        if cfg.lj_floor:
+            # smooth analytic floor: NO terrain/ground particles at all —
+            # fluid sits on the LJ repulsion from y = h(x) (free-slip,
+            # washboard-free). Seed with ~equilibrium clearance so the
+            # first kick is the supporting force, not a blowup.
+            assert cfg.flow, "lj_floor supports the flow variants"
+            clear = 0.75 * cfg.dr
+            fluid_region = Specification(
+                domain, lambda x: x[..., 1]
+                > witch_profile(cfg.witch, x[..., 0]) + clear)
+            gen(fluid_region, lambda xs: {"type": FLUID})
+        else:
+            gen(domain - mountain, lambda xs: {"type": FLUID})
+            gen(mountain, lambda xs: {"type": MOUNTAIN})
         if cfg.flow:
             # fence split: ground+sky walls, wind inflow, sink outflow
             # (isothermal_flow_witch.jl:96-105)
@@ -258,8 +291,20 @@ def make_system(cfg: LegacyConfig) -> ParticleSystem:
             wind = Specification(
                 fence, lambda x: (x[..., 0] <= -cfg.dom_length / 2)
                 & (x[..., 1] >= 0) & (x[..., 1] <= cfg.dom_height))
-            gen(wind, lambda xs: {"type": INFLOW})
-            gen(ground + sky, lambda xs: {"type": WALL})
+            if cfg.lj_floor:
+                # the inflow column advects at (U, 0) ignoring the LJ, so
+                # its rows must respect the same surface clearance or a
+                # converting bottom row materializes INSIDE the wall zone
+                # and takes the capped-force kick
+                clear = 0.75 * cfg.dr
+                wind = Specification(
+                    wind, lambda x: x[..., 1]
+                    > witch_profile(cfg.witch, x[..., 0]) + clear)
+                gen(wind, lambda xs: {"type": INFLOW})
+                gen(sky, lambda xs: {"type": WALL})
+            else:
+                gen(wind, lambda xs: {"type": INFLOW})
+                gen(ground + sky, lambda xs: {"type": WALL})
             # OUTFLOW region is dropped right after packing in the reference
             # (:114) — never generated here
         else:
@@ -326,6 +371,98 @@ def make_system(cfg: LegacyConfig) -> ParticleSystem:
         sys.freeze_opts.setdefault("rescatter_mode", "sort")
         sys.freeze_opts.setdefault("capacity", int(sys.n_built * 1.3))
     return sys
+
+
+def _lj_params(cfg: LegacyConfig):
+    r0 = cfg.lj_r0 if cfg.lj_r0 is not None else cfg.dr
+    D = cfg.lj_D if cfg.lj_D is not None else cfg.R_mass * cfg.T0 / cfg.dr
+    return r0, D
+
+
+def _floor_gap(cfg: LegacyConfig, x):
+    """(d, n̂) — signed normal gap to the analytic witch surface y = h(x)
+    and the unit surface normal, in-jit (jnp). Slopes are ≤ hₘ/a ≪ 1, so
+    the normal gap is the vertical gap scaled by cos θ."""
+    xs, ys = x[..., 0], x[..., 1]
+    if cfg.a == 0.0 or cfg.h_m == 0.0:
+        hh = jnp.zeros_like(xs)
+        hp = jnp.zeros_like(xs)
+    else:
+        den = xs * xs + cfg.a**2
+        hh = cfg.h_m * cfg.a**2 / den
+        hp = -2.0 * cfg.h_m * cfg.a**2 * xs / (den * den)
+    inv = 1.0 / jnp.sqrt(1.0 + hp * hp)
+    d = (ys - hh) * inv
+    n_hat = jnp.stack([-hp * inv, jnp.ones_like(inv) * inv], axis=-1)
+    return d, n_hat
+
+
+def _lj_floor_acc(cfg: LegacyConfig, x, v=None):
+    """LJ-style repulsion from the analytic surface (LegacyConfig.lj_floor;
+    wall form of sph_jl/examples/collapse_symplectic.jl:119-122 evaluated
+    against the smooth curve): a = D·((r0/d)⁴ − (r0/d)²)·n̂ for d < r0.
+
+    Two stabilizers beyond the raw potential (pilot-measured: without
+    them a particle punched to d ≈ 0.05·r0 takes a (r0/d)⁴ ≈ 1.6e5·D
+    slingshot — u_max spiked to 4e5 m/s):
+      * magnitude cap at 50·D (stiff enough to stop anything the CFL dt
+        admits, bounded enough to never outrun it), and
+      * NORMAL-velocity damping −γ·(v·n̂)n̂ inside the contact range with
+        γ = 2·√(D/r0) (overdamps the wall bounce; tangential velocity
+        untouched — the floor stays free-slip)."""
+    r0, D = _lj_params(cfg)
+    d, n_hat = _floor_gap(cfg, x)
+    dc = jnp.maximum(d, 0.05 * r0)
+    s2 = (r0 / dc) ** 2
+    mag = jnp.minimum(D * jnp.maximum(s2 * s2 - s2, 0.0), 20.0 * D)
+    acc = mag[..., None] * n_hat
+    if v is not None:
+        gam = 4.0 * float(np.sqrt(D / r0))
+        vn = jnp.sum(v * n_hat, axis=-1)
+        contact = (d < r0).astype(v.dtype)
+        acc = acc - (gam * contact * vn)[..., None] * n_hat
+    return acc
+
+
+@lru_cache(maxsize=None)
+def _wall_fraction_table(n: int = 96, M: int = 600):
+    """c(d/h): fraction of the 2-D Wendland kernel integral lying in the
+    half-plane a normal distance d above the support center — the analytic
+    wall-truncation renormalization for summation density at the lj_floor
+    (rows near the smooth surface have no particles below it; dividing the
+    kernel sum by c restores the hydrostatic density there)."""
+    # pure-numpy Wendland (kernels.wendland2 shape; c is a RATIO so the
+    # normalization cancels) — must stay host-side even when first called
+    # under a jit trace
+    ds = np.linspace(0.0, 1.0, n)
+    xs = np.linspace(-1.0, 1.0, M)
+    X, Y = np.meshgrid(xs, xs)
+    R = np.sqrt(X * X + Y * Y)
+    t = np.maximum(1.0 - R, 0.0)
+    W = t**4 * (1.0 + 4.0 * R)
+    tot = W.sum()
+    cs = np.array([(W * (Y > -d)).sum() / tot for d in ds])
+    return jnp.asarray(ds), jnp.asarray(cs)
+
+
+def _wall_fraction(cfg: LegacyConfig, x):
+    """c(d/h₀) per row (1 beyond kernel support of the surface)."""
+    ds, cs = _wall_fraction_table()
+    d, _ = _floor_gap(cfg, x)
+    return jnp.interp(jnp.clip(d / cfg.h0, 0.0, 1.0), ds, cs)
+
+
+def lj_floor_drag(cfg: LegacyConfig):
+    """Surface drag/lift under lj_floor: the reaction −Σ m·a_LJ of the
+    fluid on the analytic surface — the washboard-free counterpart of
+    ``mountain_force`` (same sign convention)."""
+    def diag(state: ParticleState) -> dict:
+        f = state.fields
+        w = (state.active & (f["type"] == FLUID)).astype(f["m"].dtype)
+        a = _lj_floor_acc(cfg, f["x"])
+        F = -jnp.sum((w * f["m"])[:, None] * a, axis=0)
+        return {"drag": F[0], "lift": F[1]}
+    return diag
 
 
 def make_step(cfg: LegacyConfig, engine):
@@ -511,6 +648,8 @@ def make_step(cfg: LegacyConfig, engine):
             acc = jnp.stack([u.Dv[:, 0],
                              u.Dv[:, 1] - cfg.g - damping(u.x[:, 1])],
                             axis=-1)
+        if cfg.lj_floor:
+            acc = acc + _lj_floor_acc(cfg, u.x, u.v)
         return {"v": jnp.where(fl, u.v + 0.5 * dt * acc, u.v)}
 
     def add_new_particles(state: ParticleState) -> ParticleState:
@@ -688,6 +827,22 @@ def make_step(cfg: LegacyConfig, engine):
             else:
                 state = apply_binary(engine, state, nbrs, adia_find_density,
                                      self_interaction=True)
+            if cfg.lj_floor:
+                # wall-truncation completion: the summation density of rows
+                # within kernel support of the (particle-free) smooth floor
+                # misses the sub-surface part of the integral — ADD the
+                # background-density image mass ρ_bg(y)·(1−c(d/h)) (the
+                # additive form keeps dynamic fluctuations unamplified; a
+                # multiplicative 1/c renorm scales them ~1.3x at the bottom
+                # row and was measurably less stable)
+                def _complete(u):
+                    c = _wall_fraction(cfg, u.x)
+                    rho_bg = cfg.rho0 * jnp.exp(
+                        -u.x[:, 1] * cfg.g / (cfg.R_mass * cfg.T0))
+                    return {"rho": jnp.where(u.type == FLUID,
+                                             u.rho + rho_bg * (1.0 - c),
+                                             u.rho)}
+                state = apply_unary(state, _complete)
             state = apply_unary(state, adia_find_s)
             state = apply_unary(state, adia_find_pressure)
             if use_pallas:
