@@ -631,7 +631,10 @@ def test_drift_triggered_auto_rebalance():
         # (an x-compression would never change y-slab ownership at all)
         vs = np.stack([np.zeros(600), -0.9 * (xs[:, 1] - 1.2)], axis=-1)
         sys.add_particles(xs, {"v": vs})
-        sys.freeze_opts = dict(layout="bucket", skin=0.3, cap=32)
+        # cap 64: the compression peaks at ~39 arrivals in the densest
+        # cell (measured) — cap 32 drops (counted) overflow rows there,
+        # and this gate asserts exact conservation
+        sys.freeze_opts = dict(layout="bucket", skin=0.3, cap=64)
         return sys
 
     def make_step(cfg, engine):
