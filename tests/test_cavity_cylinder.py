@@ -59,3 +59,36 @@ def test_cylinder_geometry_types():
     obs = host["x"][types == cy.OBSTACLE]
     rr = np.linalg.norm(obs - [cfg.cyl1, cfg.cyl2], axis=1)
     assert rr.max() <= cfg.cyl_r + 1e-9
+
+
+@pytest.mark.slow
+def test_cavity_vs_ghia_re400():
+    """Second Ghia Reynolds point (the reference ships Re 100/400/1000
+    columns, sph_jl/examples/reference/ldc-y2vx.csv; comparison code
+    cavity_flow.jl:182-220). Re=400 has thinner boundary layers — gate at
+    the measured N=75 accuracy with ~30% margin (calibrated round 4)."""
+    cfg = cf.Config(N=75, Re=400.0, t_end=6.0, n_frames=10)
+    out = cf.run(cfg)
+    ref = np.genfromtxt(os.path.join(DATA, "ldc-y2vx.csv"), delimiter=",",
+                        names=True)
+    ours = np.interp(ref["y"], out["s"], out["v1"])
+    err = np.abs(ours - ref["Re400"])
+    assert err.mean() < 0.12
+
+
+@pytest.mark.slow
+def test_cylinder_drag_coefficient():
+    """Quantitative DFG drag gate (the reference computes the relative
+    error against C_ref = 5.57953523384 at runtime, cylinder.jl:176,
+    203-216, but never asserts): steady-state C_D at n_around=20 within
+    the measured accuracy envelope (calibrated round 4: C_D ≈ 6.3 at this
+    resolution — ~13% high and plateaued from t ≈ 4; gate at 20%). Lift
+    is O(1e-2) and sign-/resolution-sensitive at this dr — bounded
+    loosely. t_end = 5 keeps the gate hours cheaper than the full DFG
+    t_end = 40; the drag average runs over t ∈ [2.5, 5] where the
+    calibration run already sat at its plateau."""
+    cfg = cy.Config(n_around=20, t_end=5.0, n_frames=5, dtype="float64")
+    out = cy.run(cfg)
+    C_D, C_L = out["C_SPH"]
+    assert abs(C_D / 5.57953523384 - 1.0) < 0.20, C_D
+    assert abs(C_L) < 0.6
