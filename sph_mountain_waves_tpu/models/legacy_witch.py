@@ -449,7 +449,10 @@ def _wall_fraction(cfg: LegacyConfig, x):
     """c(d/h₀) per row (1 beyond kernel support of the surface)."""
     ds, cs = _wall_fraction_table()
     d, _ = _floor_gap(cfg, x)
-    return jnp.interp(jnp.clip(d / cfg.h0, 0.0, 1.0), ds, cs)
+    # the table is f64 numpy; cast the result back so the renormalized
+    # density keeps the state dtype (an f64 leak here breaks the scan
+    # carry on f32 configs under x64)
+    return jnp.interp(jnp.clip(d / cfg.h0, 0.0, 1.0), ds, cs).astype(x.dtype)
 
 
 def lj_floor_drag(cfg: LegacyConfig):

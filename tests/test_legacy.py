@@ -348,3 +348,58 @@ def test_icr_renormalization_reduces_density_error():
     errs = info["errs"]
     assert errs[-1] < 1e-2 * errs[0]
     assert np.isfinite(np.asarray(st3.fields["x"])).all()
+
+
+def test_lj_floor_flow_scheme():
+    """lj_floor (round 4): the terrain particles are replaced by LJ
+    repulsion from the analytic witch surface — free-slip, washboard-free
+    (the boundary linear wave theory actually assumes; wall closure form
+    of sph_jl/examples/collapse_symplectic.jl:119-122)."""
+    cfg = lw.adiabatic_flow_config(n_rows=16, t_end=1.0, n_frames=2,
+                                   lj_floor=True)
+    ljd = lw.lj_floor_drag(cfg)
+    out = lw.run(cfg, extra_diag=ljd)
+    host = out["system"].host_fields()
+    # no MOUNTAIN particles exist — the floor is the analytic surface
+    assert (host["type"] == lw.MOUNTAIN).sum() == 0
+    assert np.isfinite(out["u_avg"]).all() and np.isfinite(out["drag"]).all()
+    # the wall holds: no particle ends below the clamp depth (0.05*r0
+    # above the surface is where the magnitude cap takes over)
+    import jax.numpy as jnp
+    f = out["state"].fields
+    act = np.asarray(out["state"].active)
+    d, _ = lw._floor_gap(cfg, f["x"])
+    r0, _D = lw._lj_params(cfg)
+    assert float(np.asarray(d)[act].min()) > -0.5 * r0
+
+
+def test_lj_floor_acc_is_free_slip_and_capped():
+    """Analytic properties of the LJ wall force: (a) the static force is
+    parallel to the surface normal (free-slip: zero tangential drag on a
+    tangentially sliding particle), (b) magnitude capped, (c) only the
+    NORMAL velocity component is damped inside contact."""
+    import jax.numpy as jnp
+    cfg = lw.adiabatic_flow_config(n_rows=16, lj_floor=True)
+    r0, D = lw._lj_params(cfg)
+    xs = np.linspace(-2e3, 2e3, 41)
+    # probe points a fixed normal distance above the surface
+    x = np.stack([xs, np.zeros_like(xs)], axis=-1)
+    d, n_hat = lw._floor_gap(cfg, jnp.asarray(x))
+    pts = np.asarray(x) + (0.3 * r0 - np.asarray(d))[:, None] * np.asarray(n_hat)
+    a0 = np.asarray(lw._lj_floor_acc(cfg, jnp.asarray(pts)))
+    # the force is normal to the surface AT THE PROBE POINT — project on
+    # the tangent recomputed there (the base-point normal differs by the
+    # surface curvature over the 0.3·r0 offset)
+    _, n_pts = lw._floor_gap(cfg, jnp.asarray(pts))
+    n = np.asarray(n_pts)
+    t = np.stack([-n[:, 1], n[:, 0]], axis=-1)
+    # (a) static force has no tangential component
+    assert np.abs(np.sum(a0 * t, axis=-1)).max() < 1e-6 * np.abs(a0).max()
+    # (b) cap: even a deeply-penetrated point is bounded
+    deep = np.asarray(x) + (0.01 * r0 - np.asarray(d))[:, None] * np.asarray(n_hat)
+    a_deep = np.asarray(lw._lj_floor_acc(cfg, jnp.asarray(deep)))
+    assert np.linalg.norm(a_deep, axis=-1).max() <= 20.0 * D * 1.0001
+    # (c) a purely TANGENTIAL velocity adds no damping force
+    v_t = 30.0 * t
+    a_t = np.asarray(lw._lj_floor_acc(cfg, jnp.asarray(pts), jnp.asarray(v_t)))
+    assert np.abs(a_t - a0).max() < 1e-6 * np.abs(a0).max()
