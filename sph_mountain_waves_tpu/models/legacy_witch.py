@@ -446,13 +446,23 @@ def _wall_fraction_table(n: int = 96, M: int = 600):
 
 
 def _wall_fraction(cfg: LegacyConfig, x):
-    """c(d/h₀) per row (1 beyond kernel support of the surface)."""
+    """c(d/h₀) per row (1 beyond kernel support of the surface).
+
+    The table abscissae are a uniform linspace, so interpolation is index
+    arithmetic + a 2-element ``jnp.take`` from the constant table — NOT
+    ``jnp.interp`` (whose searchsorted lowering was the only use of that
+    op on the TPU path, under suspicion in the round-4 lj_floor worker
+    crashes). Result cast back to the state dtype (an f64 leak here
+    breaks the scan carry on f32 configs under x64)."""
     ds, cs = _wall_fraction_table()
+    n = cs.shape[0]
     d, _ = _floor_gap(cfg, x)
-    # the table is f64 numpy; cast the result back so the renormalized
-    # density keeps the state dtype (an f64 leak here breaks the scan
-    # carry on f32 configs under x64)
-    return jnp.interp(jnp.clip(d / cfg.h0, 0.0, 1.0), ds, cs).astype(x.dtype)
+    u = jnp.clip(d / cfg.h0, 0.0, 1.0) * (n - 1)
+    i = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, n - 2)
+    frac = (u - i.astype(u.dtype)).astype(x.dtype)
+    c0 = jnp.take(cs, i).astype(x.dtype)
+    c1 = jnp.take(cs, i + 1).astype(x.dtype)
+    return c0 * (1.0 - frac) + c1 * frac
 
 
 def lj_floor_drag(cfg: LegacyConfig):
