@@ -48,6 +48,7 @@ def test_cylinder_inflow_recycling():
     assert np.isfinite(out["C_SPH"]).all()
 
 
+@pytest.mark.smoke
 def test_cylinder_geometry_types():
     cfg = cy.Config(n_around=12)
     sys = cy.make_system(cfg)

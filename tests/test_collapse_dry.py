@@ -19,6 +19,7 @@ from sph_mountain_waves_tpu.models import collapse_dry as cd
 DATA = os.path.join(os.path.dirname(__file__), "reference_data")
 
 
+@pytest.mark.smoke
 def test_collapse_dry_short():
     cfg = cd.Config(dr=0.06, t_end=0.4, n_frames=8)
     out = cd.run(cfg)

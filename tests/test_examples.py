@@ -17,6 +17,7 @@ from sph_mountain_waves_tpu.utils.entropy import (
 from sph_mountain_waves_tpu.utils.fixpa import FIXPA_EPS, rev_add
 
 
+@pytest.mark.heavy
 def test_collapse3d_energy():
     out = c3.run(c3.Config(dr=0.015, t_end=0.06, n_frames=3))
     E = out["E"]
@@ -37,6 +38,7 @@ def test_static_container_stays_static():
     assert np.max(out["u_max"]) < 0.2  # m/s — spurious currents stay small
 
 
+@pytest.mark.heavy
 def test_rod_energy_conservation_after_pull():
     cfg = rod.Config(n_width=8, t_end=2.0, n_plot=40)
     out = rod.run(cfg)
@@ -50,6 +52,7 @@ def test_rod_energy_conservation_after_pull():
     assert amp.max() > cfg.W * 0.9
 
 
+@pytest.mark.smoke
 def test_symplectic_reversibility():
     # invert velocities and replay: initial positions recovered to the
     # fixed-point lattice (reference collapse_symplectic.jl:238-257)

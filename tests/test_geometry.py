@@ -30,6 +30,7 @@ def rotmat(t):
                      [0.0, 0.0, 1.0]])
 
 
+@pytest.mark.smoke
 def test_areas():
     # mirrors sph_jl/tests/test_geometry.jl:59-107
     grid1 = Grid(1 / N, "square")

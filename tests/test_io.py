@@ -81,6 +81,7 @@ def test_read_vtp_points(io_dir):
     np.testing.assert_allclose(fields["s"], [1.0, 2.0])
 
 
+@pytest.mark.smoke
 def test_csv_artifact_channel(io_dir):
     """A run with out_path leaves PVD + data.csv behind (the reference's
     data.csv channel, collapse_dry.jl:226-227)."""

@@ -3,6 +3,7 @@ pressure solve must keep the flow nearly incompressible — total
 (kinetic+potential) energy bounded and monotone wavefront — matching the
 reference's implicit example behavior (collapse_dry_implicit.jl). Also gates
 the ISPH mountain-wave variant (BASELINE.json config #4)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,7 @@ import numpy as np
 from sph_mountain_waves_tpu.models import collapse_dry_implicit as ci
 
 
+@pytest.mark.smoke
 def test_isph_short():
     cfg = ci.Config(dr=0.05, t_end=0.4, n_frames=8)
     out = ci.run(cfg)

@@ -8,6 +8,7 @@ from sph_mountain_waves_tpu.models import kepler_vortex as kv
 from sph_mountain_waves_tpu.models import legacy_witch as lw
 
 
+@pytest.mark.smoke
 def test_kepler_energy_conservation():
     out = kv.run(kv.Config(N_rings=15), n_orbits=0.05)
     E = out["E"]
@@ -19,6 +20,7 @@ def test_kepler_energy_conservation():
     (lw.isothermal_static_config, dict(n_rows=16)),
     (lw.adiabatic_static_config, dict(n_rows=16)),
 ], ids=["isothermal_static", "adiabatic_static"])
+@pytest.mark.smoke
 def test_legacy_static_schemes(factory, kw):
     cfg = factory(**kw, t_end=1.0, n_frames=2)
     out = lw.run(cfg)
@@ -373,6 +375,7 @@ def test_lj_floor_flow_scheme():
     assert float(np.asarray(d)[act].min()) > -0.5 * r0
 
 
+@pytest.mark.smoke
 def test_lj_floor_acc_is_free_slip_and_capped():
     """Analytic properties of the LJ wall force: (a) the static force is
     parallel to the surface normal (free-slip: zero tangential drag on a

@@ -35,6 +35,7 @@ def _kicked_system(n_rows=10, **kw):
 
 
 @pytest.mark.smoke
+@pytest.mark.heavy
 def test_coarse_stencil_matches_dense_galerkin():
     cfg, sys, state = _kicked_system(n_rows=8)
     eng = sys.engine

@@ -45,6 +45,7 @@ def make_cloud(n, dim, box_hi, h, seed):
 
 
 @pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.smoke
 def test_pair_sum_matches_bruteforce(dim):
     n, box_hi, h = 300, 1.0, 0.21
     sys, state, x, m = make_cloud(n, dim, box_hi, h, seed=dim)
@@ -150,6 +151,7 @@ def test_matvec_includes_diagonal():
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-14)
 
 
+@pytest.mark.smoke
 def test_point_sum_interpolation():
     sys, state, x, m = make_cloud(200, 2, 1.0, 0.2, seed=5)
     eng = sys.engine
@@ -248,6 +250,7 @@ def test_stencil_rescatter_counts_distant_rows():
     assert int(state2.n) == 7
 
 
+@pytest.mark.heavy
 def test_stencil_matches_sort_rescatter():
     # drifting cloud within the skin budget: stencil and sort moves must
     # keep identical per-cell particle sets (pair sums equal)

@@ -55,6 +55,7 @@ def test_rows_per_program_stacking(interpret_kernels, monkeypatch):
     np.testing.assert_array_equal(outs[4], outs[1])
 
 
+@pytest.mark.heavy
 def test_full_step_pallas_matches_xla(interpret_kernels):
     outs = {}
     for up in (False, True):
@@ -70,6 +71,7 @@ def test_full_step_pallas_matches_xla(interpret_kernels):
     assert outs[True][1] == pytest.approx(outs[False][1], rel=1e-5)
 
 
+@pytest.mark.smoke
 def test_row_kmax_band():
     cfg = WitchConfig(n_rows=10, dtype="float32", layout="bucket", skin=0.2)
     sys_ = w.make_system(cfg)
@@ -106,6 +108,7 @@ def _scheme_pallas_vs_xla(module, make_cfg, n_steps=8, rel=1e-5):
     assert outs[True][1] == pytest.approx(outs[False][1], rel=rel)
 
 
+@pytest.mark.heavy
 def test_hopkins_step_pallas_matches_xla(interpret_kernels):
     from sph_mountain_waves_tpu.models import hopkins_perturbed_witch as hp
     _scheme_pallas_vs_xla(hp, lambda up: WitchConfig(
@@ -113,6 +116,7 @@ def test_hopkins_step_pallas_matches_xla(interpret_kernels):
         layout="bucket", skin=0.2, use_pallas=up))
 
 
+@pytest.mark.heavy
 def test_full_hopkins_step_pallas_matches_xla(interpret_kernels):
     from sph_mountain_waves_tpu.models import full_hopkins_perturbed_witch as fh
     _scheme_pallas_vs_xla(fh, lambda up: WitchConfig(
@@ -120,6 +124,7 @@ def test_full_hopkins_step_pallas_matches_xla(interpret_kernels):
         layout="bucket", skin=0.2, use_pallas=up))
 
 
+@pytest.mark.heavy
 def test_hopkins_total_step_pallas_matches_xla(interpret_kernels):
     from sph_mountain_waves_tpu.models import hopkins_total_witch as ht
     _scheme_pallas_vs_xla(ht, lambda up: WitchConfig(
@@ -127,6 +132,7 @@ def test_hopkins_total_step_pallas_matches_xla(interpret_kernels):
         layout="bucket", skin=0.2, use_pallas=up))
 
 
+@pytest.mark.heavy
 def test_collapse_dry_pallas_matches_xla(interpret_kernels):
     from sph_mountain_waves_tpu.models import collapse_dry as cd
     outs = {}
@@ -146,6 +152,7 @@ def test_collapse_dry_pallas_matches_xla(interpret_kernels):
     np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4)
 
 
+@pytest.mark.heavy
 def test_collapse3d_pallas_matches_xla(interpret_kernels):
     # exercises the 27-offset 3-D kernel path
     from sph_mountain_waves_tpu.models import collapse3d as c3

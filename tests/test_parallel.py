@@ -16,6 +16,7 @@ from sph_mountain_waves_tpu.parallel.run import (
 )
 
 
+@pytest.mark.smoke
 def test_sharded_witch_matches_single_device():
     cfg = WitchConfig(n_rows=14, dtype="float64", self_density=True)
     sys = w.make_system(cfg)
@@ -167,6 +168,7 @@ def test_bucket_sharded_migration_conserves(rescatter_mode, slab_axis):
     assert int(n) == 500
 
 
+@pytest.mark.heavy
 def test_bucket_sharded_balanced_slabs_dam_break():
     """Load-balanced (variable-width) slab partition: the dam-break boot
     state concentrates most particles in the left quarter of the box, so
@@ -336,6 +338,7 @@ def test_bucket_sharded_pallas_composes():
         pp.make_pair_kernel_fn = orig
 
 
+@pytest.mark.heavy
 def test_bucket_sharded_3d_yslab_matches_single_device():
     """3-D bucket sharding slabs along y (slab_axis=1): the global nx is a
     single 128-lane quantum, so x-slabs cannot shrink the local grid, but

@@ -115,6 +115,7 @@ def test_nusselt_ra1e4_published_value():
     assert abs(nu / 2.158 - 1.0) < 0.15, nu
 
 
+@pytest.mark.smoke
 def test_rkpm_conduction_exact_at_walls():
     """conduction="rkpm" (round-4): on the boot lattice with a quadratic
     T-profile, the RKPM Laplacian reads kappa*lap(T) exactly EVERYWHERE —

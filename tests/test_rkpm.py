@@ -23,6 +23,7 @@ def make_lattice(dr=0.1, h=0.25):
     return sys, state, nbrs
 
 
+@pytest.mark.smoke
 def test_plain_kernel_sum_loses_unity_at_boundary():
     sys, state, nbrs = make_lattice()
     ones = np.ones(state.capacity)

@@ -3,6 +3,7 @@ the production fast path (float32, bucket-resident layout, skin) must track
 the reference-shaped path (float64, flat layout, skin=0) over hundreds of
 steps — same physics through two completely different engine layouts and
 precisions (VERDICT r1 weak #8)."""
+import pytest
 import jax
 import numpy as np
 
@@ -32,6 +33,7 @@ def test_witch_trajectory_f32bucket_vs_f64flat():
     np.testing.assert_allclose(series["fast"], series["ref"], rtol=RTOL)
 
 
+@pytest.mark.heavy
 def test_dambreak_observables_f32bucket_vs_f64flat():
     series = {}
     for tag, kw in [("ref", dict(dtype="float64", layout="flat", skin=0.0)),

@@ -45,6 +45,7 @@ def test_reference_faithful_density_fixed_point():
     assert int(state.n) == sys.n_built
 
 
+@pytest.mark.smoke
 def test_self_density_is_much_more_static():
     n_steps = 16
     u_max = {}

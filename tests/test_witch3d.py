@@ -27,6 +27,7 @@ def run_steps(cfg, n, with_setup=False):
     return sys, state
 
 
+@pytest.mark.smoke
 def test_witch3d_static_atmosphere():
     """Hydrostatic 3-D init + mass renormalization must stay near-static
     (u_max << c ≈ 255 m/s) and conserve particles. Without renormalization
@@ -66,6 +67,7 @@ def test_witch3d_mass_element_is_cubic():
         host["m"], background_density(cfg, host["x"][:, 2]) * cfg.dr**3)
 
 
+@pytest.mark.heavy
 def test_witch3d_pallas_matches_xla(monkeypatch):
     """27-offset density+momentum Pallas passes vs the XLA cell-dense path
     on the same bucket-layout trajectory (interpret mode on CPU)."""
@@ -87,6 +89,7 @@ def test_witch3d_pallas_matches_xla(monkeypatch):
     np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4)
 
 
+@pytest.mark.heavy
 def test_witch3d_bucket_sharded_matches_single_device():
     """The stretch config's sharded path: slab-local bucket decomposition of
     the 3-D witch must reproduce the single-device run exactly."""
@@ -143,6 +146,7 @@ def test_stretch_config_sizing():
     assert occ.max() <= 8, occ.max()
 
 
+@pytest.mark.heavy
 def test_witch3d_production_sharded_run_applies_setup(tmp_path):
     """run_sharded_witch_bucket generalizes to the 3-D model: y-slabs by
     default, the mass-renormalization setup hook applied before sharding

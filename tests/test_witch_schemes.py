@@ -23,6 +23,7 @@ def _finite(out):
         assert np.isfinite(np.asarray(f[name])[act]).all(), name
 
 
+@pytest.mark.smoke
 def test_hopkins_perturbed_runs_and_stays_calm():
     out = hp.run(CFG)
     _finite(out)
