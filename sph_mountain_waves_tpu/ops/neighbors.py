@@ -167,15 +167,17 @@ class NeighborEngine:
     # possible if rows are teleported, e.g. spawn pools writing arbitrary
     # inactive slots) are DROPPED and counted in Neighbors.overflow — models
     # that spawn under the bucket layout must set "sort" (the variadic
-    # sort-payload move, valid for any row placement). The stencil move's
-    # compaction is an unrolled len(stencil)·cap graph — cheap at the
-    # production 2-D/3-D witch shapes (9·8=72 / 27·8=216) but a
-    # compile-time explosion at large caps (collapse3d cap 40 → 1080), so
-    # "stencil" silently degrades to "sort" past _STENCIL_COST_MAX (see
-    # effective_rescatter_mode).
+    # sort-payload move, valid for any row placement). The compaction is
+    # vectorized (rank = cumsum over source slots, placement = one one-hot
+    # einsum per stencil offset — round 4; the earlier unrolled
+    # stencil·cap graph compiled >30 min past ~512), so compile cost is
+    # ~len(stencil) ops: 4.8 s CPU even at collapse3d's 27·40=1080.
+    # "stencil" still degrades to "sort" past _STENCIL_COST_MAX — beyond
+    # it the [cap, cap, cells] one-hot temporaries start to dominate HBM
+    # traffic and the sort move's fixed cost wins.
     rescatter_mode: str = "stencil"
 
-    _STENCIL_COST_MAX = 512  # max len(stencil)*cap for the unrolled compaction
+    _STENCIL_COST_MAX = 2048  # max len(stencil)*cap for the compaction
 
     @property
     def effective_rescatter_mode(self) -> str:
