@@ -442,7 +442,10 @@ def _wall_fraction_table(n: int = 96, M: int = 600):
     W = t**4 * (1.0 + 4.0 * R)
     tot = W.sum()
     cs = np.array([(W * (Y > -d)).sum() / tot for d in ds])
-    return jnp.asarray(ds), jnp.asarray(cs)
+    # cache NUMPY: returning jnp arrays from an lru_cache first populated
+    # under a jit trace leaks that trace's constants into every later
+    # trace in the process (UnexpectedTracerError on the second config)
+    return ds, cs
 
 
 def _wall_fraction(cfg: LegacyConfig, x):
@@ -454,15 +457,14 @@ def _wall_fraction(cfg: LegacyConfig, x):
     op on the TPU path, under suspicion in the round-4 lj_floor worker
     crashes). Result cast back to the state dtype (an f64 leak here
     breaks the scan carry on f32 configs under x64)."""
-    ds, cs = _wall_fraction_table()
+    _, cs_np = _wall_fraction_table()
+    cs = jnp.asarray(cs_np, dtype=x.dtype)
     n = cs.shape[0]
     d, _ = _floor_gap(cfg, x)
     u = jnp.clip(d / cfg.h0, 0.0, 1.0) * (n - 1)
     i = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, n - 2)
     frac = (u - i.astype(u.dtype)).astype(x.dtype)
-    c0 = jnp.take(cs, i).astype(x.dtype)
-    c1 = jnp.take(cs, i + 1).astype(x.dtype)
-    return c0 * (1.0 - frac) + c1 * frac
+    return jnp.take(cs, i) * (1.0 - frac) + jnp.take(cs, i + 1) * frac
 
 
 def lj_floor_drag(cfg: LegacyConfig):

@@ -99,7 +99,10 @@ def dev2(G):
 
 
 def mv(A, x):
-    return jnp.einsum("...ij,...j->...i", A, x)
+    # HIGHEST: TPU einsum defaults to bf16 MXU multiplies — the 2x2
+    # elasticity algebra needs full f32/f64 precision
+    return jnp.einsum("...ij,...j->...i", A, x,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def make_system(cfg: Config) -> ParticleSystem:

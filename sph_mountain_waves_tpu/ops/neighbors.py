@@ -468,7 +468,14 @@ class NeighborEngine:
             mi = member.astype(jnp.int32)
             rank = cnt[None] + jnp.cumsum(mi, axis=0) - mi
             oh = ((iota_sk == rank[None]) & member[None]).astype(dt)
-            outs_fs = outs_fs + jnp.einsum("sk...,fk...->fs...", oh, sv)
+            # precision=HIGHEST is REQUIRED: TPU einsum defaults to bf16
+            # MXU multiplies, which would round the carried field values
+            # (positions!) to ~8 mantissa bits at every rescatter. The
+            # contraction is a pure selection (≤1 nonzero term per
+            # output), so at f32 multiply precision it is bit-exact.
+            outs_fs = outs_fs + jnp.einsum(
+                "sk...,fk...->fs...", oh, sv,
+                precision=jax.lax.Precision.HIGHEST)
             cnt = cnt + jnp.sum(mi, axis=0)
         outs = list(outs_fs)
 
