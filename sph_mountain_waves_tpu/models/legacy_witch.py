@@ -1022,6 +1022,29 @@ def wave_momentum_flux_binned(cfg: LegacyConfig, z0: float, dz: float,
     return diag
 
 
+def wave_momentum_flux_profile(cfg: LegacyConfig, z_levels,
+                               dz: float = 1000.0, tag: str = "fp",
+                               x_window: float = 15e3,
+                               bin_w: float = 1000.0, bin_h: float = 400.0):
+    """Vertical PROFILE of the scale-filtered EP flux: one
+    ``wave_momentum_flux_binned`` band per level in ``z_levels``, keys
+    ``{tag}{z}``. The round-4 lj_floor run localized the linear-drag
+    deficit to somewhere between the surface (reaction 2.55·D_lin) and
+    the 3-km band (0.038·D_lin) — this diagnostic is how round 5 finds
+    the altitude where the flux dies (linear theory: z-independent below
+    dissipation; a sharp drop marks breaking/absorption)."""
+    bands = [(int(z), wave_momentum_flux_binned(
+        cfg, z0=float(z), dz=dz, tag=f"{tag}{int(z)}", x_window=x_window,
+        bin_w=bin_w, bin_h=bin_h)) for z in z_levels]
+
+    def diag(state: ParticleState) -> dict:
+        out = {}
+        for _, d in bands:
+            out.update(d(state))
+        return out
+    return diag
+
+
 def run(cfg: LegacyConfig, out_path: str | None = None, verbose: bool = False,
         packing: bool = False, capacity_factor: float = 1.3,
         extra_diag=None):

@@ -406,3 +406,47 @@ def test_lj_floor_acc_is_free_slip_and_capped():
     v_t = 30.0 * t
     a_t = np.asarray(lw._lj_floor_acc(cfg, jnp.asarray(pts), jnp.asarray(v_t)))
     assert np.abs(a_t - a0).max() < 1e-6 * np.abs(a0).max()
+
+
+def test_wave_momentum_flux_profile_is_z_independent():
+    """The per-level flux profile (round-5 deficit-localization
+    diagnostic) must read the SAME analytic linear flux at every level —
+    EP flux is z-independent below dissipation — so a drop in a real run
+    localizes real physics, not observable bias."""
+    import jax.numpy as jnp
+    from sph_mountain_waves_tpu.structs import ParticleState
+
+    U, N_bv, h_m, a, rho = 20.0, 0.02, 300.0, 5e3, 1.0
+    m_w = N_bv / U
+    dr = 100.0
+    X = 50 * a
+    xs = np.arange(-X, X, dr) + 0.5 * dr
+    zs = np.arange(500.0, 6500.0, dr)
+    xx, zz = np.meshgrid(xs, zs)
+    denom = a**2 + xx**2
+    zeta_x = h_m * a * (-np.sin(m_w * zz) * denom
+                        - 2 * xx * (a * np.cos(m_w * zz)
+                                    - xx * np.sin(m_w * zz))) / denom**2
+    zeta_z = h_m * a * m_w * (-a * np.sin(m_w * zz)
+                              - xx * np.cos(m_w * zz)) / denom
+    up = -U * zeta_z
+    wp = U * zeta_x
+    n = xx.size
+    fields = {
+        "x": jnp.asarray(np.stack([xx.ravel(), zz.ravel()], -1)),
+        "v": jnp.asarray(np.stack([U + up.ravel(), wp.ravel()], -1)),
+        "m": jnp.full(n, rho * dr * dr),
+        "type": jnp.zeros(n),
+    }
+    state = ParticleState(fields=fields, active=jnp.ones(n, bool))
+
+    cfg = lw.LegacyConfig(U_max=U, flow=True)
+    D_lin = (np.pi / 4) * rho * N_bv * U * h_m**2
+    levels = [1500.0, 2500.0, 3500.0, 4500.0, 5500.0]
+    prof = lw.wave_momentum_flux_profile(cfg, levels, dz=1000.0,
+                                         x_window=3 * a)
+    out = prof(state)
+    assert len(out) == len(levels)
+    for z in levels:
+        np.testing.assert_allclose(float(out[f"fp{int(z)}"]), D_lin,
+                                   rtol=0.12)
