@@ -37,7 +37,8 @@ sys.path.insert(0, "/root/repo")
 
 
 def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
-        h_m=300.0, a=5e3, avg_window=0.2, av_alpha=0.0):
+        h_m=300.0, a=5e3, avg_window=0.2, av_alpha=0.0,
+        flux_profile=False, lj_floor=False):
     from sph_mountain_waves_tpu.models import legacy_witch as lw
 
     # γ_max = N/2 STRUCTURALLY (ADVICE round 3): derive N from the same
@@ -71,7 +72,7 @@ def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
         # ν_AV ≈ α·c·h0/8: at α = 0.05, lattice noise (k ~ π/dr) damps in
         # ~3 s while the wave (k_z = N/U) loses ~e^(−0.26) of amplitude
         # over its 750 s climb to the z = 3 km band.
-        av_alpha=av_alpha,
+        av_alpha=av_alpha, lj_floor=lj_floor,
         outflow_buffer=6.0 * 1.8 * (20e3 / n_rows))
     N_bv = cfg.g / float(np.sqrt(cfg.cp * cfg.T0))     # adiabatic scheme N
     D_lin = (np.pi / 4) * cfg.rho0 * N_bv * cfg.U_max * cfg.h_m**2
@@ -116,10 +117,16 @@ def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
                             / jnp.maximum(jnp.sum(w), 1.0))
         return out
 
+    base_force = (lw.lj_floor_drag(cfg) if lj_floor
+                  else lambda s: lw.mountain_force(s))
+    prof = (lw.wave_momentum_flux_profile(
+        cfg, [1000.0, 1500.0, 2000.0, 2500.0, 3000.0, 4000.0, 5000.0],
+        dz=1000.0, x_window=3 * a) if flux_profile else lambda s: {})
+
     def diag(state):
-        return {**lw.mountain_force(state), **flux_lo(state),
+        return {**base_force(state), **flux_lo(state),
                 **flux_hi(state), **fb_lo(state), **fb_hi(state),
-                **wind_taps(state)}
+                **wind_taps(state), **prof(state)}
 
     t0 = time.time()
     res = lw.run(cfg, verbose=verbose, extra_diag=diag)
