@@ -117,11 +117,13 @@ sys_ = cd.make_system(cfg)
 state = sys_.freeze()
 step, init_forces = cd.make_step(cfg, sys_.engine)
 state = jax.jit(init_forces, donate_argnums=0)(state)
+# 1000-step scans at 11.7k: a 100-step scan carries ~0.26 ms/step of the
+# fixed ~26 ms tunnel round trip (scan-floor finding, BENCHMARKS.md)
 @partial(jax.jit, donate_argnums=0)
 def run(s):
-    s, _ = jax.lax.scan(lambda s, _: (step(s), None), s, None, length=100)
+    s, _ = jax.lax.scan(lambda s, _: (step(s), None), s, None, length=1000)
     return s
-timed_scans(run, state, sys_.n_built, 100)
+timed_scans(run, state, sys_.n_built, 1000)
 ''')]
 
 
