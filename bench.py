@@ -45,8 +45,9 @@ def parse_args(argv=None):
     # at L = 16/128/1024 all cost the same ~26 ms TOTAL, scalar or 1M
     # carry — the round-3 "0.33 ms/iter floor" was this fixed cost
     # divided by a 100-step scan). Default 0 = auto: enough steps that
-    # the round trip is < 2% of the measurement (100 at 1M, 400-800 at
-    # small N). Production frames run hundreds of steps per scan, and
+    # the round trip is < 2% of the measurement — a ~1.5 s scan, i.e.
+    # round(1.5 s/est_step/100)*100 = 300 at 1M, rising to the 2000-step
+    # cap below ~150k. Production frames run hundreds of steps per scan, and
     # real (untunneled) TPU hosts have no such latency at all.
     ap.add_argument("--steps", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=3)
@@ -72,6 +73,9 @@ def parse_args(argv=None):
 def run_once(args, use_pallas: bool):
     """One full build+warmup+timed attempt. Raises on any failure."""
     import jax
+
+    from sph_mountain_waves_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()  # cold remote compiles are paid once, not per run
 
     from sph_mountain_waves_tpu.models import wcsph_perturbed_witch as w
     from sph_mountain_waves_tpu.models.common import frame_runner

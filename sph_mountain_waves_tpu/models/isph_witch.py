@@ -81,6 +81,21 @@ def make_system(cfg: ISPHWitchConfig) -> ParticleSystem:
 
 
 def make_step(cfg: ISPHWitchConfig, engine):
+    if cfg.precond.startswith("mg") and not (
+            getattr(engine, "layout", "flat") == "bucket"
+            and engine.dim == 2):
+        # No silent degradation (advisor rounds 3-4): the two-level
+        # preconditioner needs the 2-D bucket cell grid (ops/mg.py
+        # coarse_stencil_2d); anywhere else the solve falls back to
+        # Jacobi and iteration counts return to round-3 levels (73 vs 35
+        # at the 208k witch). Warn so a 3-D/flat benchmark doesn't read
+        # as an mg regression. precond="jacobi" silences this.
+        import warnings
+        warnings.warn(
+            f"ISPH precond={cfg.precond!r} requires a 2-D bucket engine "
+            f"(got layout={getattr(engine, 'layout', 'flat')!r}, "
+            f"dim={engine.dim}); falling back to Jacobi",
+            RuntimeWarning, stacklevel=2)
     dt = cfg.dt_isph
     h = cfg.h0
     # m/ρ_bg = dr² exactly (mass init m = ρ_bg·dr², witch_common.py), so the

@@ -258,7 +258,13 @@ def make_system(cfg: LegacyConfig) -> ParticleSystem:
     mountain = Specification(
         domain, lambda x: x[..., 1] <= witch_profile(cfg.witch, x[..., 0]))
 
-    sys = ParticleSystem(fields=FIELDS, domain=domain + fence, h=cfg.h0,
+    fields = dict(FIELDS)
+    if cfg.flow:
+        # slot-bound spawn-drop accumulator (advisor round-3 finding):
+        # "_"-prefixed = preserved in place by every rescatter flavor
+        # (ops/neighbors._is_bookkeeping); read via global sum only
+        fields["_spawn_drops"] = 0
+    sys = ParticleSystem(fields=fields, domain=domain + fence, h=cfg.h0,
                          dim=2, dtype=cfg.jdtype)
     imported: set = set()
     if cfg.init_vtp:
@@ -405,10 +411,11 @@ def _lj_floor_acc(cfg: LegacyConfig, x, v=None):
     Two stabilizers beyond the raw potential (pilot-measured: without
     them a particle punched to d ≈ 0.05·r0 takes a (r0/d)⁴ ≈ 1.6e5·D
     slingshot — u_max spiked to 4e5 m/s):
-      * magnitude cap at 50·D (stiff enough to stop anything the CFL dt
-        admits, bounded enough to never outrun it), and
+      * magnitude cap at 20·D (stiff enough to stop anything the CFL dt
+        admits, bounded enough to never outrun it — asserted in
+        test_legacy), and
       * NORMAL-velocity damping −γ·(v·n̂)n̂ inside the contact range with
-        γ = 2·√(D/r0) (overdamps the wall bounce; tangential velocity
+        γ = 4·√(D/r0) (overdamps the wall bounce; tangential velocity
         untouched — the floor stays free-slip)."""
     r0, D = _lj_params(cfg)
     d, n_hat = _floor_gap(cfg, x)
@@ -470,7 +477,16 @@ def _wall_fraction(cfg: LegacyConfig, x):
 def lj_floor_drag(cfg: LegacyConfig):
     """Surface drag/lift under lj_floor: the reaction −Σ m·a_LJ of the
     fluid on the analytic surface — the washboard-free counterpart of
-    ``mountain_force`` (same sign convention)."""
+    ``mountain_force`` (same sign convention).
+
+    The observable is the CONSERVATIVE LJ reaction only: the
+    normal-velocity contact-damping term of ``_lj_floor_acc`` (active
+    while d < r0) is deliberately excluded (``v`` not passed), so
+    momentum transferred through the floor by contact damping is not
+    counted.  For the wave-drag campaign that is the right call — the
+    damping force is normal-directed (≈ lift-only for the near-flat
+    floor) and vanishes in steady state — but a bouncing-impact study
+    would need to pass ``v`` and include it."""
     def diag(state: ParticleState) -> dict:
         f = state.fields
         w = (state.active & (f["type"] == FLUID)).astype(f["m"].dtype)
@@ -794,6 +810,11 @@ def make_step(cfg: LegacyConfig, engine):
                 # reference so the spawn event triggers no rescatter
                 fields["_xref"] = f["_xref"].at[tgt_safe].set(x_new,
                                                               mode="drop")
+            # surface dropped spawns (valid source, no free slot/rank):
+            # mirrors Neighbors.overflow — a tight-cap inflow run must not
+            # leak particles silently (advisor round-3 finding)
+            n_drop = jnp.sum(src_ok & ~ok).astype(f["_spawn_drops"].dtype)
+            fields["_spawn_drops"] = f["_spawn_drops"].at[0].add(n_drop)
             return fields, active.at[tgt_safe].set(ok, mode="drop")
 
         def no_op(f, active):
@@ -939,9 +960,21 @@ def inflow_reservoir(state: ParticleState) -> dict:
     spawn drops — home-cell free-rank exhaustion at tight bucket caps
     (add_new_particles' slot-targeted path), pool exhaustion, or (sharded)
     a spawn binned outside the spawning device's slab. Exported per frame
-    by the flow run loop (merged into every ``extra_diag``)."""
+    by the flow run loop (merged into every ``extra_diag``).
+
+    ``spawn_drops`` (round 5): the cumulative DIRECT counter — spawns with
+    a valid source but no free slot (slot-targeted: home-cell rank
+    exhaustion; pool: capacity exhaustion) accumulate into the slot-bound
+    ``_spawn_drops`` bookkeeping field at spawn time, the explicit
+    counterpart of inferring leaks from the ``n_inflow`` trend.
+    (Single-device exact; on sharded engines the per-device counter lands
+    in slot 0 — a ghost column on interior devices — so there the
+    ``n_inflow`` trend remains the authoritative leak observable.)"""
     f = state.fields
-    return {"n_inflow": jnp.sum(state.active & (f["type"] == INFLOW))}
+    out = {"n_inflow": jnp.sum(state.active & (f["type"] == INFLOW))}
+    if "_spawn_drops" in f:
+        out["spawn_drops"] = jnp.sum(f["_spawn_drops"]).astype(jnp.int32)
+    return out
 
 
 def wave_momentum_flux(cfg: LegacyConfig, z0: float, dz: float,

@@ -110,6 +110,16 @@ def sorted_slot_scatter(key, fields, C: int, cap: int, slots: int):
     return moved, active, overflow
 
 
+def _is_bookkeeping(name: str) -> bool:
+    """SLOT-bound accumulator fields, by convention "_"-prefixed (e.g. the
+    spawn-drop counter ``_spawn_drops``): carried in the state pytree for
+    jit/scan plumbing but bound to slots, not particles — every rescatter
+    flavor leaves them untouched in place (neither moved nor zeroed).
+    ``_xref`` is NOT bookkeeping: it is particle data with its own
+    dedicated rescatter handling."""
+    return name.startswith("_") and name != "_xref"
+
+
 @dataclasses.dataclass(frozen=True)
 class NeighborEngine:
     """Static engine configuration (hashable → usable as a jit static arg).
@@ -155,7 +165,11 @@ class NeighborEngine:
     # time) can shrink this to the irreducible state (x, v, h, m, type) —
     # every moved component rides the variadic sort (~1 ms per payload at
     # 2M slots) plus a share of one wide scatter, so fewer fields ≈
-    # proportionally cheaper rescatters. Non-moved fields are zeroed.
+    # proportionally cheaper rescatters. Non-moved fields are zeroed —
+    # EXCEPT bookkeeping fields (name starting with "_", e.g. the spawn-
+    # drop accumulator "_spawn_drops"), which are SLOT-bound rather than
+    # particle-bound: rescatters leave them untouched in place ("_xref"
+    # keeps its own dedicated handling).
     persistent: tuple = ()
     # Bucket rescatter implementation. "stencil" (default): between
     # rescatters every particle has drifted ≤ skin_slack/2 + one step ≪ one
@@ -372,7 +386,7 @@ class NeighborEngine:
         C, cap = self.num_cells, self.cap
         active, cell, key = self._screen_and_key(state)
         move = {name: arr for name, arr in state.fields.items()
-                if name != "_xref"
+                if name != "_xref" and not _is_bookkeeping(name)
                 and (not self.persistent or name in self.persistent)}
         moved, new_active, overflow = sorted_slot_scatter(
             key, move, C, cap, self.slots)
@@ -380,7 +394,8 @@ class NeighborEngine:
         for name, arr in state.fields.items():
             if name == "_xref":
                 continue
-            fields[name] = moved.get(name, jnp.zeros_like(arr))
+            fields[name] = (arr if _is_bookkeeping(name)
+                            else moved.get(name, jnp.zeros_like(arr)))
         fields["_xref"] = fields["x"]
         return ParticleState(fields=fields, active=new_active), overflow
 
@@ -436,8 +451,8 @@ class NeighborEngine:
 
         dt = state.fields["x"].dtype
         names = [n for n in state.fields
-                 if n != "_xref" and (not self.persistent
-                                      or n in self.persistent)]
+                 if n != "_xref" and not _is_bookkeeping(n)
+                 and (not self.persistent or n in self.persistent)]
         comps = []  # (name, comp_axis or None, padded [cap, grid+2])
         for n in names:
             arr = state.fields[n]
@@ -512,7 +527,7 @@ class NeighborEngine:
                 i += len(cols)
         for n, arr in state.fields.items():
             if n not in fields and n != "_xref":
-                fields[n] = jnp.zeros_like(arr)
+                fields[n] = arr if _is_bookkeeping(n) else jnp.zeros_like(arr)
         fields["_xref"] = fields["x"]
         new_active = to_flat(act_g.astype(jnp.int32)) > 0
         return ParticleState(fields=fields, active=new_active), dropped

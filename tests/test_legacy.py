@@ -143,10 +143,37 @@ def test_slot_targeted_spawn_matches_sort():
         outs[mode] = (int(act.sum()), s.mean(), s.max(),
                       float(lw.mountain_force(st)["drag"]))
         n_built = sys_.n_built
+        # spawn-drop counter (round 5): with default capacity headroom no
+        # spawn may be dropped, in either placement path
+        assert int(lw.inflow_reservoir(st)["spawn_drops"]) == 0
     assert outs["stencil"][0] > n_built          # the spawn event fired
     assert outs["stencil"][0] == outs["sort"][0]  # same particle count
     np.testing.assert_allclose(outs["stencil"][1:], outs["sort"][1:],
                                rtol=1e-12)
+
+
+def test_spawn_drops_are_counted():
+    """Silent spawn loss is forbidden (advisor round-3 finding): spawns
+    with a valid source but no free slot must accumulate into the
+    ``spawn_drops`` counter. Freeze the FLAT layout at capacity == n_built
+    (zero pool headroom — bucket ignores ``capacity``, its slots are the
+    grid) so EVERY respawn fails: the INFLOW reservoir then drains by
+    exactly the counted drops."""
+    import jax
+
+    cfg = lw.isothermal_flow_config(n_rows=12, dom_length=60e3,
+                                    dtype="float64")
+    sys_ = lw.make_system(cfg)
+    st = sys_.freeze(capacity=sys_.n_built)       # no free slots, ever
+    assert sys_.engine.layout == "flat"
+    n_inflow0 = int(lw.inflow_reservoir(st)["n_inflow"])
+    step = jax.jit(lw.make_step(cfg, sys_.engine))
+    for _ in range(120):
+        st = step(st)
+    diag = lw.inflow_reservoir(st)
+    drops = int(diag["spawn_drops"])
+    assert drops > 0                               # conversions did fire
+    assert n_inflow0 - int(diag["n_inflow"]) == drops
 
 
 def test_av_alpha_is_dissipative_and_conservative():

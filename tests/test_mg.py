@@ -35,8 +35,10 @@ def _kicked_system(n_rows=10, **kw):
 
 
 @pytest.mark.smoke
-@pytest.mark.heavy
 def test_coarse_stencil_matches_dense_galerkin():
+    # ~90 s single-core (measured round 5) — fits the smoke tier's
+    # <15-min budget; not `heavy` (that mark means several minutes and
+    # contradicts smoke, advisor round-4 finding)
     cfg, sys, state = _kicked_system(n_rows=8)
     eng = sys.engine
     state, nbrs = eng.rebuild(state)
