@@ -145,7 +145,7 @@ def row_kmax(engine, state):
     return band.astype(jnp.int32), per_row.astype(jnp.int32)
 
 
-def _pad_fields(engine, fields, pad_vals=None):
+def _pad_fields(engine, fields, pad_vals=None, tail_extra: int = 0):
     """[cap, C+1] resident fields → [cap, (nx+HALO) + C + (nx+HALO)] with
     nx+HALO leading pad columns and an nx+HALO−1 tail. A program's span
     for grid row b covers flat columns [(b−1)·nx − HALO, (b+2)·nx + HALO):
@@ -153,6 +153,11 @@ def _pad_fields(engine, fields, pad_vals=None):
     128 by the bucket-grid rounding). The pads absorb b = 0 and b = R−1 —
     padded start (b·nx) is always ≥ 0 and the widest end lands exactly at
     the padded width (the loaded pad garbage is occupancy-masked).
+
+    ``tail_extra``: extra tail pad for the x-TILED kernel, whose last
+    chunk of the last row reaches up to ncx·cx − nx + 1 columns past the
+    span design's widest access (partial chunks round the row width up to
+    ncx·cx).
 
     ``pad_vals`` sets the pad value per field (default 0). Masked pad
     contributions must be EXACTLY zero, which needs every intermediate
@@ -164,7 +169,7 @@ def _pad_fields(engine, fields, pad_vals=None):
     assert nx % 128 == 0, f"bucket grid nx must be 128-aligned, got {nx}"
     if pad_vals is None:
         pad_vals = [0.0] * len(fields)
-    return [jnp.pad(f, ((0, 0), (nx + HALO, nx + HALO - 1)),
+    return [jnp.pad(f, ((0, 0), (nx + HALO, nx + HALO - 1 + tail_extra)),
                     constant_values=v)
             for f, v in zip(fields, pad_vals)]
 
@@ -347,6 +352,168 @@ def _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair, cap, rp):
     return kernel
 
 
+# x-tiling override for experiments/tests: None = auto (tile only when the
+# modeled kernel stack overflows), 0 = never tile, >0 = force that chunk
+# width (lanes, multiple of 128) on any 2-D grid.
+CHUNK_LANES = None
+
+
+def _chunk_lanes(engine, cap_pad):
+    """x-tiling decision (round 5 — the "~2M VMEM cliff" lever named by
+    the round-4 autopsy, BENCHMARKS.md): once nx is wide enough that the
+    modeled Mosaic kernel stack (261 B/cap·lane — the pair body keeps ~40
+    live [cap_pad, lanes] f32 vectors) overflows the scoped-VMEM budget
+    even at rp = 1, the merged-span kernel loses double-buffering headroom
+    and HBM latency shows (measured onset: nx 5376 → 6400 at cap 8,
+    2.08e8 → 1.37e8 particle-steps/s). Instead of running the whole row
+    as one program, tile it into column CHUNKS of ``cx`` lanes (each with
+    a ±1-cell halo window per stencil row): every program then works a
+    proven-good [cap_pad, ≤2048]-lane block regardless of nx.
+
+    Returns the chunk width (lanes, multiple of 128) or None for the
+    untiled fast path. 2-D only — 3-D grids are narrow by construction
+    (the y/z extent carries the cells; witch3d nx is one 128 quantum)."""
+    nx = engine.lims[0]
+    if engine.dim != 2:
+        return None
+    if CHUNK_LANES is not None:
+        cl = int(CHUNK_LANES)
+        return None if cl == 0 or cl >= nx else cl
+    if _STACK_BYTES_PER_CAP_LANE * cap_pad * nx <= _STACK_BUDGET:
+        return None                      # the span design fits — keep it
+    max_cx = _STACK_BUDGET // (_STACK_BYTES_PER_CAP_LANE * cap_pad)
+    cx = min(2048, (max_cx // 128) * 128)  # 2048 = the 1M config's width
+    return max(cx, 128)
+
+
+def chunk_kmax(engine, state, cx: int, ncx: int):
+    """Per-CHUNK q-slot trip bounds for the x-tiled kernel — the tiled
+    analogue of ``row_kmax``, and strictly tighter: each program bounds
+    its trips by the max occupancy over ITS OWN column window's stencil
+    band (3 rows × [c·cx − 1, (c+1)·cx + 1)), so a dense pocket in one
+    chunk no longer sets the trip count of the whole row. [R·ncx] int32,
+    program-major (row, then chunk)."""
+    C = engine.num_cells
+    nx, ny = engine.lims[0], engine.lims[1]
+    occ = engine.resident(state.active)[:, :C]
+    per_cell = jnp.sum(occ, axis=0).reshape(ny, nx)
+    rows = jnp.pad(per_cell, ((1, 1), (0, 0)))
+    band = jnp.maximum(jnp.maximum(rows[:-2], rows[1:-1]), rows[2:])
+    padw = ncx * cx - nx
+
+    def windowed_max(g):
+        body = jnp.pad(g, ((0, 0), (0, padw)))
+        left = jnp.pad(g, ((0, 0), (1, padw)))[:, :ncx * cx]
+        right = jnp.pad(g, ((0, 0), (0, padw + 1)))[:, 1:]
+        m = jnp.maximum(body, jnp.maximum(left, right))
+        return m.reshape(ny, ncx, cx).max(axis=2).reshape(-1)
+
+    return (windowed_max(band).astype(jnp.int32),
+            windowed_max(per_cell).astype(jnp.int32))
+
+
+def _make_pair_kernel_tiled(engine, n_in, n_out, pair_body, self_pair,
+                            cap, cx, ncx):
+    """x-TILED pair-sweep kernel: one program = one [cap, cx] column chunk
+    of one grid row (2-D only, rp = 1). Each of the 3 stencil rows is
+    DMA'd as its own [cap, cx + 2·HALO] halo window (the merged 3-row
+    span of `_make_pair_kernel` is contiguous only for FULL rows), double-
+    buffered across programs exactly like the span design. Partial last
+    chunks (ncx·cx > nx) compute wrap garbage in their overhang columns;
+    the caller slices the output back to nx.  Body/masking semantics are
+    identical to `_make_pair_kernel` at rp = 1."""
+    nx = engine.lims[0]
+    ny = engine.lims[1]
+    h_sys = engine.h
+    assert engine.dim == 2, "x-tiling is 2-D only"
+    T = ny * ncx
+    W = cx + 2 * HALO
+
+    def kernel(kmax_ref, kmaxp_ref, *refs):
+        in_refs = refs[:n_in]
+        out_refs = refs[n_in:n_in + n_out]
+        bufs = refs[n_in + n_out:n_in + n_out + 3 * n_in]  # [fi*3 + dj]
+        accs_ref = refs[n_in + n_out + 3 * n_in:
+                        n_in + n_out + 3 * n_in + n_out]
+        sems = refs[-1]
+        t = pl.program_id(0)
+        jy = t // ncx
+        cur = t % 2
+        nxt = (t + 1) % 2
+
+        def issue(tt, slot):
+            bb = tt // ncx
+            cc = tt % ncx
+            for fi in range(n_in):
+                for dj in range(3):
+                    # padded flat start of stencil row bb+dj−1's window
+                    # [cc·cx − HALO, cc·cx + cx + HALO): leading pad is
+                    # nx + HALO, so start = (bb+dj)·nx + cc·cx — 128-
+                    # aligned (nx, cx, HALO all ≡ 0 mod 128)
+                    start = pl.multiple_of((bb + dj) * nx + cc * cx, 128)
+                    pltpu.make_async_copy(
+                        in_refs[fi].at[:, pl.ds(start, W)],
+                        bufs[fi * 3 + dj].at[slot],
+                        sems.at[slot, fi, dj],
+                    ).start()
+
+        @pl.when(t == 0)
+        def _():
+            issue(t, cur)
+
+        @pl.when(t + 1 < T)
+        def _():
+            issue(t + 1, nxt)
+        for fi in range(n_in):
+            for dj in range(3):
+                pltpu.make_async_copy(
+                    in_refs[fi].at[:, pl.ds(0, W)],  # shape-only handle
+                    bufs[fi * 3 + dj].at[cur],
+                    sems.at[cur, fi, dj],
+                ).wait()
+
+        p_all = [bufs[fi * 3 + 1][cur, :, HALO:HALO + cx]
+                 for fi in range(n_in)]
+        kmax = kmax_ref[t]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, cx), 0)
+        for oi in range(n_out):
+            accs_ref[oi][:, :] = jnp.zeros((cap, cx), jnp.float32)
+
+        # q-slot walk: identical discipline to the span kernel — static
+        # unroll, per-chunk occupancy predication, register-accumulated
+        # stencil sums with ONE VMEM += per slot
+        for kq in range(cap):
+            @pl.when(kq < kmax)
+            def _(kq=kq):
+                tot = [None] * n_out
+                for dj in range(3):
+                    rowvalid = jnp.logical_and(jy + dj - 1 >= 0,
+                                               jy + dj - 1 < ny)
+                    for di in range(3):
+                        base = HALO - 1 + di
+                        q_all = [bufs[fi * 3 + dj][cur, kq, base:base + cx]
+                                 for fi in range(n_in)]
+                        occ_q = (q_all[0] > 0.5)[None, :] & rowvalid
+                        r2 = (p_all[1] - q_all[1][None, :]) ** 2
+                        r2 = r2 + (p_all[2] - q_all[2][None, :]) ** 2
+                        mask = ((p_all[0] > 0.5) & occ_q
+                                & (r2 <= h_sys * h_sys))
+                        if dj == 1 and di == 1 and not self_pair:
+                            mask = mask & (row_ids != kq)
+                        maskf = mask.astype(jnp.float32)
+                        contribs = pair_body(p_all, q_all, r2, maskf)
+                        for oi in range(n_out):
+                            tot[oi] = (contribs[oi] if tot[oi] is None
+                                       else tot[oi] + contribs[oi])
+                for oi in range(n_out):
+                    accs_ref[oi][:, :] += tot[oi]
+
+        for oi in range(n_out):
+            out_refs[oi][:, :] = accs_ref[oi][:, :]
+
+    return kernel
+
+
 def make_pair_kernel_fn(engine, state, static_fields, n_dyn, pair_body,
                         n_out, self_pair, interpret=False, pad_vals=None):
     """Prepare a pair-sweep kernel with a static/dynamic field split and
@@ -375,57 +542,93 @@ def make_pair_kernel_fn(engine, state, static_fields, n_dyn, pair_body,
             f"pad_vals has {len(pad_vals)} entries for {n_static + n_dyn} fields"
         pad_static = [0.0] + list(pad_vals[:n_static])  # occ pads 0
         pad_dyn = list(pad_vals[n_static:])
-    ins_static = _pad_fields(engine, [occf] + list(static_fields), pad_static)
     n_in = 1 + n_static + n_dyn
     nw = len(_plane_offsets(engine.dim))
-    kmax, kmaxp = row_kmax(engine, state)
 
     # Mosaic requires memref row counts aligned to the f32 sublane tile (8):
     # pad the cap axis with zero (= unoccupied, masked) rows and slice the
     # outputs back. A [cap, nx] VPU block costs the same as its 8-row
     # rounding anyway, so the padding is free compute-wise.
     cap_pad = _round_up_8(cap)
+
+    cx = _chunk_lanes(engine, cap_pad)
+    ncx = 1 if cx is None else -(-nx // cx)
+    tail_extra = 0 if cx is None else ncx * cx - nx + 1
+    ins_static = _pad_fields(engine, [occf] + list(static_fields),
+                             pad_static, tail_extra=tail_extra)
     if cap_pad != cap:
         ins_static = [jnp.pad(f, ((0, cap_pad - cap), (0, 0)))
                       for f in ins_static]
 
-    rp = _rows_per_program(engine, n_in, n_out, cap_pad)
-    if rp > 1:
-        # a program's q-slot trip bound is the max over its rp rows' bands
-        kmax = kmax.reshape(R // rp, rp).max(axis=1)
-        kmaxp = kmaxp.reshape(R // rp, rp).max(axis=1)
-    kernel = _make_pair_kernel(engine, n_in, n_out, pair_body, self_pair,
-                               cap_pad, rp)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(R // rp,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
-        out_specs=[pl.BlockSpec((cap_pad, rp * nx),
-                                lambda t, kmax, kmaxp: (0, t),
-                                memory_space=pltpu.VMEM)] * n_out,
-        scratch_shapes=[pltpu.VMEM((2, cap_pad, (rp + 2) * nx + 2 * HALO),
-                                   jnp.float32)
-                        for _ in range(nw * n_in)]
-        + [pltpu.VMEM((cap_pad, rp * nx), jnp.float32)
-           for _ in range(n_out)]
-        + [pltpu.SemaphoreType.DMA((2, n_in, nw))],
-    )
+    if cx is not None:
+        # wide-grid x-tiled path (the ~2M VMEM cliff lever): [cap, cx]
+        # column-chunk programs with per-chunk trip bounds
+        kmax, kmaxp = chunk_kmax(engine, state, cx, ncx)
+        kernel = _make_pair_kernel_tiled(engine, n_in, n_out, pair_body,
+                                         self_pair, cap_pad, cx, ncx)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(R * ncx,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+            out_specs=[pl.BlockSpec((cap_pad, cx),
+                                    lambda t, kmax, kmaxp: (0, t),
+                                    memory_space=pltpu.VMEM)] * n_out,
+            scratch_shapes=[pltpu.VMEM((2, cap_pad, cx + 2 * HALO),
+                                       jnp.float32)
+                            for _ in range(3 * n_in)]
+            + [pltpu.VMEM((cap_pad, cx), jnp.float32)
+               for _ in range(n_out)]
+            + [pltpu.SemaphoreType.DMA((2, n_in, 3))],
+        )
+    else:
+        kmax, kmaxp = row_kmax(engine, state)
+        rp = _rows_per_program(engine, n_in, n_out, cap_pad)
+        if rp > 1:
+            # a program's q-slot trip bound is the max over its rp rows'
+            # bands
+            kmax = kmax.reshape(R // rp, rp).max(axis=1)
+            kmaxp = kmaxp.reshape(R // rp, rp).max(axis=1)
+        kernel = _make_pair_kernel(engine, n_in, n_out, pair_body,
+                                   self_pair, cap_pad, rp)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(R // rp,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+            out_specs=[pl.BlockSpec((cap_pad, rp * nx),
+                                    lambda t, kmax, kmaxp: (0, t),
+                                    memory_space=pltpu.VMEM)] * n_out,
+            scratch_shapes=[pltpu.VMEM((2, cap_pad,
+                                        (rp + 2) * nx + 2 * HALO),
+                                       jnp.float32)
+                            for _ in range(nw * n_in)]
+            + [pltpu.VMEM((cap_pad, rp * nx), jnp.float32)
+               for _ in range(n_out)]
+            + [pltpu.SemaphoreType.DMA((2, n_in, nw))],
+        )
 
     def call(dyn_fields):
         assert len(dyn_fields) == n_dyn
-        ins_dyn = _pad_fields(engine, list(dyn_fields), pad_dyn)
+        ins_dyn = _pad_fields(engine, list(dyn_fields), pad_dyn,
+                              tail_extra=tail_extra)
         if cap_pad != cap:
             ins_dyn = [jnp.pad(f, ((0, cap_pad - cap), (0, 0)))
                        for f in ins_dyn]
+        out_w = R * nx if cx is None else R * ncx * cx
         outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((cap_pad, R * nx),
+            out_shape=[jax.ShapeDtypeStruct((cap_pad, out_w),
                                             jnp.float32)] * n_out,
             interpret=interpret,
         )(kmax, kmaxp, *ins_static, *ins_dyn)
+        if cx is not None:
+            # drop the partial-chunk overhang columns (wrap garbage)
+            outs = [o[:cap].reshape(cap, R, ncx * cx)[:, :, :nx]
+                    .reshape(cap, C) for o in outs]
+        else:
+            outs = [o[:cap] for o in outs]
         # back to [cap*(C+1)] flat with the trash column re-appended
-        return [jnp.pad(o[:cap], ((0, 0), (0, 1))).reshape(cap * (C + 1))
+        return [jnp.pad(o, ((0, 0), (0, 1))).reshape(cap * (C + 1))
                 for o in outs]
 
     return call

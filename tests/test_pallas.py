@@ -55,6 +55,45 @@ def test_rows_per_program_stacking(interpret_kernels, monkeypatch):
     np.testing.assert_array_equal(outs[4], outs[1])
 
 
+def test_x_tiled_kernel_matches_untiled(interpret_kernels, monkeypatch):
+    """Wide-grid x-tiling (round-5 ~2M-VMEM-cliff lever): column-chunk
+    programs with per-chunk trip bounds (chunk_kmax) and per-stencil-row
+    halo windows must be BIT-identical to the merged-span kernel — both
+    for exact division (cx=128, ncx=3) and a PARTIAL last chunk (cx=256,
+    ncx=2: the 128 overhang columns compute wrap garbage that the caller
+    slices off)."""
+    cfg = WitchConfig(n_rows=36, dtype="float32", self_density=True,
+                      layout="bucket", skin=0.2)
+    sys_ = w.make_system(cfg)
+    state = sys_.freeze()
+    eng = sys_.engine
+    assert eng.lims[0] == 384, eng.lims   # wide enough for both cases
+    state, nbrs = jax.jit(eng.rebuild)(state)
+    ref = np.asarray(pp.density_pass(eng, state, cfg))
+    for cx in (128, 256):
+        monkeypatch.setattr(pp, "CHUNK_LANES", cx)
+        got = np.asarray(pp.density_pass(eng, state, cfg))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_x_tiled_full_step_matches(interpret_kernels, monkeypatch):
+    """Full Verlet steps (density + pressure + momentum passes, incl.
+    dynamic-field kernels) under forced x-tiling with a partial chunk
+    match the untiled run exactly."""
+    outs = {}
+    for cx in (0, 256):   # 0 = never tile
+        monkeypatch.setattr(pp, "CHUNK_LANES", cx)
+        cfg = WitchConfig(n_rows=36, dtype="float32", self_density=True,
+                          layout="bucket", skin=0.2, use_pallas=True)
+        sys_ = w.make_system(cfg)
+        state = sys_.freeze()
+        step = jax.jit(w.make_step(cfg, sys_.engine))
+        for _ in range(4):
+            state = step(state)
+        outs[cx] = [float(v) for v in velocity_diagnostics(state)]
+    assert outs[256] == outs[0]
+
+
 @pytest.mark.heavy
 def test_full_step_pallas_matches_xla(interpret_kernels):
     outs = {}
