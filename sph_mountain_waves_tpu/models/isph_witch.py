@@ -66,9 +66,10 @@ class ISPHWitchConfig(WitchConfig):
     cg_tol: float = 1e-4
     cg_maxiter: int = 200
     # pressure-solve preconditioner: "jacobi" | "mg" (additive two-level:
-    # Galerkin coarse 9-point stencil on the bucket cell grid + V-cycle,
-    # ops/mg.py) | "mg_mult" (symmetrized multiplicative, 2 extra matvecs
-    # per iteration). mg requires the 2-D bucket layout, single-device.
+    # Galerkin coarse 9-point (2-D) / 27-point (3-D) stencil on the bucket
+    # cell grid + V-cycle, ops/mg.py) | "mg_mult" (symmetrized
+    # multiplicative, 2 extra matvecs per iteration). mg requires the
+    # bucket layout (flat engines warn + fall back to Jacobi).
     precond: str = "mg"
 
     @property
@@ -81,20 +82,20 @@ def make_system(cfg: ISPHWitchConfig) -> ParticleSystem:
 
 
 def make_step(cfg: ISPHWitchConfig, engine):
-    if cfg.precond.startswith("mg") and not (
-            getattr(engine, "layout", "flat") == "bucket"
-            and engine.dim == 2):
+    if (cfg.precond.startswith("mg")
+            and getattr(engine, "layout", "flat") != "bucket"):
         # No silent degradation (advisor rounds 3-4): the two-level
-        # preconditioner needs the 2-D bucket cell grid (ops/mg.py
-        # coarse_stencil_2d); anywhere else the solve falls back to
-        # Jacobi and iteration counts return to round-3 levels (73 vs 35
-        # at the 208k witch). Warn so a 3-D/flat benchmark doesn't read
-        # as an mg regression. precond="jacobi" silences this.
+        # preconditioner needs the bucket cell grid (ops/mg.py
+        # coarse_stencil_2d/_3d — round 5 added the 27-tap 3-D stencil);
+        # on flat engines the solve falls back to Jacobi and iteration
+        # counts return to round-3 levels (73 vs 35 at the 208k witch).
+        # Warn so a flat-engine benchmark doesn't read as an mg
+        # regression. precond="jacobi" silences this.
         import warnings
         warnings.warn(
-            f"ISPH precond={cfg.precond!r} requires a 2-D bucket engine "
-            f"(got layout={getattr(engine, 'layout', 'flat')!r}, "
-            f"dim={engine.dim}); falling back to Jacobi",
+            f"ISPH precond={cfg.precond!r} requires a bucket engine "
+            f"(got layout={getattr(engine, 'layout', 'flat')!r}); "
+            f"falling back to Jacobi",
             RuntimeWarning, stacklevel=2)
     dt = cfg.dt_isph
     h = cfg.h0
@@ -219,8 +220,7 @@ def make_step(cfg: ISPHWitchConfig, engine):
 
             M = lambda v: v / diag_safe
             if (cfg.precond.startswith("mg")
-                    and getattr(engine, "layout", "flat") == "bucket"
-                    and engine.dim == 2):
+                    and getattr(engine, "layout", "flat") == "bucket"):
                 # per-slab additive Schwarz with the local coarse grid
                 # (ghost cells = overlap); collective-free, SPD — the
                 # distributed flavor of the single-device two-level M
@@ -243,8 +243,7 @@ def make_step(cfg: ISPHWitchConfig, engine):
 
             M = lambda v: v / diag_safe
             if (cfg.precond.startswith("mg")
-                    and getattr(engine, "layout", "flat") == "bucket"
-                    and engine.dim == 2):
+                    and getattr(engine, "layout", "flat") == "bucket"):
                 from ..ops.mg import two_level_preconditioner
                 M = two_level_preconditioner(
                     engine, state,

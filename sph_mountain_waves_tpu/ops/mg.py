@@ -33,12 +33,18 @@ lax-free Python loops unrolled over ~log2(C) levels at trace time.
 """
 from __future__ import annotations
 
+import itertools
+
 import jax
 import jax.numpy as jnp
 
-__all__ = ["coarse_stencil_2d", "GridVcycle", "two_level_preconditioner"]
+__all__ = ["coarse_stencil_2d", "coarse_stencil_3d", "GridVcycle",
+           "two_level_preconditioner"]
 
 _OFFSETS_2D = [(di, dj) for dj in (-1, 0, 1) for di in (-1, 0, 1)]
+# dk-major so reshape(3, 3, 3, C) puts tap axes in grid order (z, y, x)
+_OFFSETS_3D = [(di, dj, dk) for dk in (-1, 0, 1) for dj in (-1, 0, 1)
+               for di in (-1, 0, 1)]
 
 
 def coarse_stencil_2d(engine, state, offdiag_w, diag):
@@ -93,43 +99,86 @@ def coarse_stencil_2d(engine, state, offdiag_w, diag):
     return W.reshape(3, 3, ny, nx).astype(dtype)
 
 
+def coarse_stencil_3d(engine, state, offdiag_w, diag):
+    """3-D Galerkin coarse matrix: the 27-tap analogue of
+    ``coarse_stencil_2d`` on the [nz, ny, nx] bucket cell grid (round 5,
+    VERDICT r4 weak #7 — the 2-D machinery generalized). Returns ``W`` of
+    shape [3, 3, 3, nz, ny, nx], tap axes in grid order (dk, dj, di)."""
+    if engine.dim != 3:
+        raise NotImplementedError("coarse_stencil_3d: 3-D bucket grids only")
+    nx, ny, nz = engine.lims
+    cap, C = engine.cap, engine.num_cells
+    x = state.fields["x"]
+    dtype = x.dtype
+    h = jnp.asarray(engine.h, dtype)
+
+    Xr = engine.resident(x)
+    Ar = engine.resident(state.active)
+    Xp = Xr[:, :C]
+    Ap = Ar[:, :C]
+    Xpad = engine.pad_resident(Xr)
+    Apad = engine.pad_resident(Ar)
+
+    taps = []
+    for off in _OFFSETS_3D:
+        Xq = engine.slice_resident(Xpad, off)
+        Aq = engine.slice_resident(Apad, off)
+        d = Xp[:, None] - Xq[None, :]
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        mask = Ap[:, None] & Aq[None, :] & (r <= h)
+        if off == (0, 0, 0):
+            eye = jnp.eye(cap, dtype=bool)[:, :, None]
+            mask = mask & ~eye
+        w = jnp.where(mask, offdiag_w(jnp.where(mask, r, 2.0 * h)), 0.0)
+        taps.append(jnp.sum(w, axis=(0, 1)))
+    W = jnp.stack(taps, axis=0).reshape(3, 3, 3, C)
+    Dc = jnp.sum(engine.resident(diag)[:, :C], axis=0)
+    W = W.at[1, 1, 1].add(Dc)
+    return W.reshape(3, 3, 3, nz, ny, nx).astype(dtype)
+
+
 def _stencil_apply(W, u):
-    """(A_c u) for a [3, 3, ny, nx] stencil and [ny, nx] grid vector."""
-    ny, nx = u.shape
-    P = jnp.pad(u, ((1, 1), (1, 1)))
+    """(A_c u) for a [3]*d + grid stencil and a d-D grid vector."""
+    d = u.ndim
+    P = jnp.pad(u, ((1, 1),) * d)
     out = jnp.zeros_like(u)
-    for dj in (-1, 0, 1):
-        for di in (-1, 0, 1):
-            out = out + W[1 + dj, 1 + di] * P[1 + dj:1 + dj + ny,
-                                              1 + di:1 + di + nx]
+    for offs in itertools.product((-1, 0, 1), repeat=d):
+        tap = W[tuple(1 + o for o in offs)]
+        sl = tuple(slice(1 + o, 1 + o + n) for o, n in zip(offs, u.shape))
+        out = out + tap * P[sl]
     return out
 
 
 def _coarsen_stencil(W):
-    """Galerkin coarsening of a 9-point stencil under 2×2 PWC aggregation.
+    """Galerkin coarsening of a 9/27-point stencil under 2^d PWC
+    aggregation.
 
-    Fine cell (2J+b, 2I+a) reaching offset (dj, di) lands in coarse block
-    (J + (b+dj)//2, I + (a+di)//2) — still a 9-point stencil. Pads odd grids
-    with zero rows/columns (empty cells couple to nothing)."""
-    ny, nx = W.shape[2:]
-    ny2, nx2 = (ny + 1) // 2, (nx + 1) // 2
-    Wp = jnp.pad(W, ((0, 0), (0, 0), (0, 2 * ny2 - ny), (0, 2 * nx2 - nx)))
-    out = jnp.zeros((3, 3, ny2, nx2), W.dtype)
-    for dj in (-1, 0, 1):
-        for di in (-1, 0, 1):
-            fine = Wp[1 + dj, 1 + di].reshape(ny2, 2, nx2, 2)
-            for b in (0, 1):
-                for a in (0, 1):
-                    # value sits at fine row (2J+b, 2I+a); its column offset
-                    # determines the coarse tap
-                    oj = (b + dj) // 2
-                    oi = (a + di) // 2
-                    out = out.at[1 + oj, 1 + oi].add(fine[:, b, :, a])
+    Fine cell (2J+b, 2I+a, …) reaching offset (dj, di, …) lands in coarse
+    block (J + (b+dj)//2, I + (a+di)//2, …) — still a 3^d stencil. Pads
+    odd grids with zero rows/columns (empty cells couple to nothing)."""
+    d = W.ndim // 2
+    grid = W.shape[d:]
+    grid2 = tuple((n + 1) // 2 for n in grid)
+    Wp = jnp.pad(W, ((0, 0),) * d
+                 + tuple((0, 2 * g2 - g) for g2, g in zip(grid2, grid)))
+    out = jnp.zeros((3,) * d + grid2, W.dtype)
+    resh = ()
+    for g2 in grid2:
+        resh += (g2, 2)
+    for offs in itertools.product((-1, 0, 1), repeat=d):
+        fine = Wp[tuple(1 + o for o in offs)].reshape(resh)
+        for subs in itertools.product((0, 1), repeat=d):
+            # value sits at fine index (2J+b, …); its sub-position per
+            # axis determines the coarse tap
+            sel = fine[tuple(x for s in subs for x in (slice(None), s))]
+            tap = tuple(1 + (s + o) // 2 for s, o in zip(subs, offs))
+            out = out.at[tap].add(sel)
     return out
 
 
 class GridVcycle:
-    """Geometric V-cycle for a 9-point stencil hierarchy on the cell grid.
+    """Geometric V-cycle for a 9/27-point stencil hierarchy on the 2-D or
+    3-D cell grid.
 
     Built once per operator refresh (``GridVcycle(W)`` precomputes the
     Galerkin hierarchy); ``apply(r)`` runs one V(nu,nu) cycle from a zero
@@ -140,16 +189,16 @@ class GridVcycle:
     def __init__(self, W, levels: int | None = None, nu: int = 2,
                  omega: float = 0.7, coarse_iters: int = 24):
         self.nu, self.omega, self.coarse_iters = nu, omega, coarse_iters
+        self.d = W.ndim // 2
         self.Ws = [W]
-        ny, nx = W.shape[2:]
         maxl = 32 if levels is None else levels
-        while len(self.Ws) < maxl and min(ny, nx) > 4:
+        while (len(self.Ws) < maxl and min(W.shape[self.d:]) > 4):
             W = _coarsen_stencil(W)
-            ny, nx = W.shape[2:]
             self.Ws.append(W)
         self.dinvs = []
+        centre = (1,) * self.d
         for Wl in self.Ws:
-            d = Wl[1, 1]
+            d = Wl[centre]
             self.dinvs.append(jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, 0.0))
 
     def _smooth(self, l, u, b, iters):
@@ -164,13 +213,20 @@ class GridVcycle:
             return self._smooth(l, u, b, self.coarse_iters)
         u = self._smooth(l, u, b, self.nu - 1)
         r = b - _stencil_apply(self.Ws[l], u)
-        ny, nx = r.shape
-        ny2, nx2 = self.Ws[l + 1].shape[2:]
-        rp = jnp.pad(r, ((0, 2 * ny2 - ny), (0, 2 * nx2 - nx)))
-        rc = rp.reshape(ny2, 2, nx2, 2).sum(axis=(1, 3))   # PWC restrict
+        grid = r.shape
+        grid2 = self.Ws[l + 1].shape[self.d:]
+        rp = jnp.pad(r, tuple((0, 2 * g2 - g)
+                              for g2, g in zip(grid2, grid)))
+        resh = ()
+        for g2 in grid2:
+            resh += (g2, 2)
+        rc = rp.reshape(resh).sum(
+            axis=tuple(range(1, 2 * self.d, 2)))            # PWC restrict
         ec = self._cycle(l + 1, rc)
-        ef = jnp.repeat(jnp.repeat(ec, 2, axis=0), 2, axis=1)[:ny, :nx]
-        u = u + ef                                          # PWC prolong
+        ef = ec
+        for ax in range(self.d):
+            ef = jnp.repeat(ef, 2, axis=ax)
+        u = u + ef[tuple(slice(0, g) for g in grid)]        # PWC prolong
         return self._smooth(l, u, b, self.nu)
 
     def apply(self, r):
@@ -193,15 +249,16 @@ def two_level_preconditioner(engine, state, offdiag_w, diag, matvec,
     overlap): additive-Schwarz-with-coarse, collective-free, still SPD.
     Use mode="add" there — "mult" consumes the global matvec twice per
     apply."""
-    W = coarse_stencil_2d(engine, state, offdiag_w, diag)
+    builder = coarse_stencil_2d if engine.dim == 2 else coarse_stencil_3d
+    W = builder(engine, state, offdiag_w, diag)
     vc = GridVcycle(W, **vkw)
     cap, C = engine.cap, engine.num_cells
-    nx, ny = engine.lims
+    grid = tuple(reversed(engine.lims))   # [(nz,) ny, nx], x minor
     act = state.active if mask is None else mask
 
     def coarse(r):
         rc = jnp.sum(engine.resident(jnp.where(act, r, 0.0))[:, :C],
-                     axis=0).reshape(ny, nx)
+                     axis=0).reshape(grid)
         ec = vc.apply(rc).reshape(C)
         z = jnp.pad(ec, (0, 1))[None, :].repeat(cap, axis=0).reshape(-1)
         return jnp.where(act, z, 0.0)

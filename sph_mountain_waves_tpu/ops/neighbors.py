@@ -552,6 +552,13 @@ class NeighborEngine:
         state, overflow = jax.lax.cond(
             need, resc,
             lambda s: (s, jnp.zeros((), jnp.int32)), state)
+        if "_rescatter_count" in state.fields:
+            # opt-in cadence observable (long-run soak, VERDICT r4 #8):
+            # states carrying this bookkeeping field get one count per
+            # drift-triggered rescatter, summable per frame host-side
+            rc = state.fields["_rescatter_count"]
+            state = state.replace(
+                _rescatter_count=rc.at[0].add(need.astype(rc.dtype)))
 
         # implicit neighbor structure: the layout IS the cell assignment;
         # everything except counts/starts is static

@@ -17,7 +17,7 @@ import pytest
 from sph_mountain_waves_tpu.kernels import rDspline23
 from sph_mountain_waves_tpu.models import isph_witch as iw
 from sph_mountain_waves_tpu.ops.mg import (
-    GridVcycle, _stencil_apply, coarse_stencil_2d)
+    GridVcycle, _stencil_apply, coarse_stencil_2d, coarse_stencil_3d)
 from sph_mountain_waves_tpu.ops.solvers import assemble_matrix
 
 
@@ -107,6 +107,95 @@ def test_vcycle_symmetric_positive_definite():
         u.reshape(-1)[i] = 1.0
         A[:, i] = np.asarray(_stencil_apply(jnp.asarray(W),
                                             jnp.asarray(u))).ravel()
+    cond = np.linalg.eigvalsh(M @ A)
+    assert cond.real.max() / cond.real.min() < 12.0
+
+
+def test_coarse_stencil_3d_matches_dense_galerkin():
+    """27-tap 3-D Galerkin coarse stencil (round 5) vs the dense Pᵀ A P
+    on a random 3-D bucket cloud — the 3-D analogue of the 2-D gate."""
+    from sph_mountain_waves_tpu import Box, ParticleSystem
+
+    rng = np.random.default_rng(7)
+    n, box_hi, h = 220, 1.0, 0.26
+    x = rng.uniform(0, box_hi, size=(n, 3))
+    dom = Box(0.0, 0.0, 0.0, box_hi, box_hi, box_hi)
+    sys = ParticleSystem(fields={"x": 3, "m": 0}, domain=dom, h=h, dim=3,
+                         dtype=jnp.float64)
+    sys.add_particles(x, {"m": np.ones(n)})
+    state = sys.freeze(layout="bucket")
+    eng = sys.engine
+    assert eng.dim == 3
+    state, nbrs = eng.rebuild(state)
+    w = lambda r: 2.0 * h**2 * rDspline23(h, r)
+    diag = jnp.where(state.active,
+                     jnp.asarray(rng.standard_normal(state.capacity)), 0.0)
+
+    W = np.asarray(coarse_stencil_3d(eng, state, w, diag))
+
+    # brute-force Pᵀ A P straight from particle pairs (the dense A at 3-D
+    # slot counts — cap·(128·ny·nz+1) — would be tens of GB)
+    act = np.asarray(state.active)
+    _, _, key = eng._screen_and_key(state)
+    key = np.asarray(key)
+    C = eng.num_cells
+    rows = np.where(act & (key < C))[0]
+    xs = np.asarray(state.fields["x"])
+    dg = np.asarray(diag)
+    from collections import defaultdict
+    Ac = defaultdict(float)
+    for i in rows:
+        Ac[(key[i], key[i])] += dg[i]
+        for j in rows:
+            if j == i:
+                continue
+            r = np.linalg.norm(xs[i] - xs[j])
+            if r <= h:
+                Ac[(key[i], key[j])] += float(w(r))
+    nx, ny, nz = eng.lims
+    # only cells with any occupancy couple — checking every tap of every
+    # cell is 27·C python iterations; restrict to occupied cells' rows
+    occ_cells = np.unique(key[rows])
+    checked = 0
+    for dk in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            for di in (-1, 0, 1):
+                tap = W[1 + dk, 1 + dj, 1 + di].reshape(-1)
+                for c in occ_cells:
+                    iz, rem = divmod(int(c), ny * nx)
+                    iy, ix = divmod(rem, nx)
+                    jx, jy, jz = ix + di, iy + dj, iz + dk
+                    want = 0.0
+                    if 0 <= jx < nx and 0 <= jy < ny and 0 <= jz < nz:
+                        want = Ac.get((int(c), (jz * ny + jy) * nx + jx),
+                                      0.0)
+                    assert abs(tap[c] - want) < 1e-9, (di, dj, dk, c)
+                    checked += 1
+    assert checked >= 27 * len(occ_cells) and len(occ_cells) > 30
+
+
+def test_vcycle_3d_symmetric_positive_definite():
+    """The n-D V-cycle on a 3-D 7-point SPD model stencil is symmetric,
+    positive definite, and spectrally close to A⁻¹."""
+    nz, ny, nx = 6, 8, 10
+    W = np.zeros((3, 3, 3, nz, ny, nx))
+    W[1, 1, 1] = 6.5
+    for tap in ((1, 1, 0), (1, 1, 2), (1, 0, 1), (1, 2, 1),
+                (0, 1, 1), (2, 1, 1)):
+        W[tap] = -1.0
+    vc = GridVcycle(jnp.asarray(W))
+    n = nz * ny * nx
+    M = np.zeros((n, n))
+    A = np.zeros((n, n))
+    for i in range(n):
+        e = np.zeros(n)
+        e[i] = 1.0
+        g = jnp.asarray(e.reshape(nz, ny, nx))
+        M[:, i] = np.asarray(vc.apply(g)).ravel()
+        A[:, i] = np.asarray(_stencil_apply(jnp.asarray(W), g)).ravel()
+    assert np.abs(M - M.T).max() < 1e-10
+    evals = np.linalg.eigvalsh(0.5 * (M + M.T))
+    assert evals.min() > 0
     cond = np.linalg.eigvalsh(M @ A)
     assert cond.real.max() / cond.real.min() < 12.0
 
