@@ -119,14 +119,21 @@ def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
 
     base_force = (lw.lj_floor_drag(cfg) if lj_floor
                   else lambda s: lw.mountain_force(s))
+    _levels = [1000.0, 1500.0, 2000.0, 2500.0, 3000.0, 4000.0, 5000.0]
     prof = (lw.wave_momentum_flux_profile(
-        cfg, [1000.0, 1500.0, 2000.0, 2500.0, 3000.0, 4000.0, 5000.0],
-        dz=1000.0, x_window=3 * a) if flux_profile else lambda s: {})
+        cfg, _levels, dz=1000.0, x_window=3 * a)
+        if flux_profile else lambda s: {})
+    # companion amplitude profile (round 5): RMS of binned u'/w per level
+    # distinguishes "never generated" from "present but uncorrelated/
+    # dissipated" — gated vs the analytic wave in test_legacy
+    ampf = (lw.wave_amplitude_profile(cfg, _levels, dz=1000.0,
+                                      x_window=3 * a)
+            if flux_profile else lambda s: {})
 
     def diag(state):
         return {**base_force(state), **flux_lo(state),
                 **flux_hi(state), **fb_lo(state), **fb_hi(state),
-                **wind_taps(state), **prof(state)}
+                **wind_taps(state), **prof(state), **ampf(state)}
 
     t0 = time.time()
     res = lw.run(cfg, verbose=verbose, extra_diag=diag)

@@ -48,6 +48,12 @@ def arm(name, **kw):
     line = (f"PROFILE {name} h_m={kw.get('h_m', 300.0)} "
             f"lj={kw.get('lj_floor', False)} D_lin={D_lin:.4g} {body} "
             f"wall={time.time() - t0:.0f}s")
+    if f"ampu{LEVELS[0]}" in res:
+        amps = {z: (float(np.mean(np.asarray(res[f"ampu{z}"])[k0:])),
+                    float(np.mean(np.asarray(res[f"ampw{z}"])[k0:])))
+                for z in LEVELS if f"ampu{z}" in res}
+        line += "\nAMP " + name + " " + " ".join(
+            f"z{z}=u{amps[z][0]:.2f}/w{amps[z][1]:.2f}" for z in amps)
     print(line, flush=True)
     for path in ("/tmp/linear_drag.log", "/tmp/r5_profile.log"):
         with open(path, "a") as f:

@@ -1078,6 +1078,60 @@ def wave_momentum_flux_profile(cfg: LegacyConfig, z_levels,
     return diag
 
 
+def wave_amplitude_profile(cfg: LegacyConfig, z_levels, dz: float = 1000.0,
+                           tag: str = "amp", x_window: float = 15e3,
+                           bin_w: float = 1000.0, bin_h: float = 400.0):
+    """Resolved wave AMPLITUDE per level: mass-weighted RMS of the BINNED
+    mean perturbation velocities over the |x| ≤ x_window band at each
+    z-level — keys ``{tag}u{z}`` (ū′ RMS) and ``{tag}w{z}`` (w̄ RMS).
+
+    Companion to ``wave_momentum_flux_profile``: the flux alone cannot
+    distinguish "wave never generated" from "wave present but u′ and w̄
+    decorrelated / dissipated en route". Linear hydrostatic theory for the
+    witch predicts |u′| ~ N·hₘ·√(ρ_s/ρ(z)) and |w| ~ U·hₘ/a·√(ρ_s/ρ(z))
+    near the ridge; a measured amplitude at the prediction with flux far
+    below D_lin indicts phase/correlation, a missing amplitude indicts
+    generation or dissipation."""
+    nbx = int(round(2 * x_window / bin_w))
+
+    def one(z0):
+        nbz = max(1, int(round(dz / bin_h)))
+
+        def diag(state: ParticleState) -> dict:
+            f = state.fields
+            y = f["x"][:, 1]
+            sel = (state.active & (f["type"] == FLUID)
+                   & (y >= z0 - dz / 2) & (y < z0 + dz / 2)
+                   & (jnp.abs(f["x"][:, 0]) <= x_window))
+            m = jnp.where(sel, f["m"], 0.0)
+            bx = jnp.clip(((f["x"][:, 0] + x_window) / bin_w)
+                          .astype(jnp.int32), 0, nbx - 1)
+            bz = jnp.clip(((y - (z0 - dz / 2)) / (dz / nbz))
+                          .astype(jnp.int32), 0, nbz - 1)
+            b = bx * nbz + bz
+            nb = nbx * nbz
+            sm = jnp.zeros(nb, m.dtype).at[b].add(m)
+            su = jnp.zeros(nb, m.dtype).at[b].add(
+                m * (f["v"][:, 0] - cfg.U_max))
+            sw = jnp.zeros(nb, m.dtype).at[b].add(m * f["v"][:, 1])
+            sm_safe = jnp.maximum(sm, 1e-30)
+            M = jnp.maximum(jnp.sum(sm), 1e-30)
+            return {f"{tag}u{int(z0)}":
+                    jnp.sqrt(jnp.sum(sm * (su / sm_safe) ** 2) / M),
+                    f"{tag}w{int(z0)}":
+                    jnp.sqrt(jnp.sum(sm * (sw / sm_safe) ** 2) / M)}
+        return diag
+
+    bands = [one(float(z)) for z in z_levels]
+
+    def diag(state: ParticleState) -> dict:
+        out = {}
+        for d in bands:
+            out.update(d(state))
+        return out
+    return diag
+
+
 def run(cfg: LegacyConfig, out_path: str | None = None, verbose: bool = False,
         packing: bool = False, capacity_factor: float = 1.3,
         extra_diag=None):

@@ -440,11 +440,10 @@ def test_lj_floor_acc_is_free_slip_and_capped():
     assert np.abs(a_t - a0).max() < 1e-6 * np.abs(a0).max()
 
 
-def test_wave_momentum_flux_profile_is_z_independent():
-    """The per-level flux profile (round-5 deficit-localization
-    diagnostic) must read the SAME analytic linear flux at every level —
-    EP flux is z-independent below dissipation — so a drop in a real run
-    localizes real physics, not observable bias."""
+def _analytic_linear_wave_state():
+    """Particle cloud sampling the analytic steady linear hydrostatic
+    witch wave (the closed form the quantitative drag gates reference):
+    returns (state, cfg, D_lin, params)."""
     import jax.numpy as jnp
     from sph_mountain_waves_tpu.structs import ParticleState
 
@@ -471,9 +470,20 @@ def test_wave_momentum_flux_profile_is_z_independent():
         "type": jnp.zeros(n),
     }
     state = ParticleState(fields=fields, active=jnp.ones(n, bool))
-
     cfg = lw.LegacyConfig(U_max=U, flow=True)
     D_lin = (np.pi / 4) * rho * N_bv * U * h_m**2
+    params = dict(U=U, N_bv=N_bv, h_m=h_m, a=a, rho=rho, dr=dr,
+                  up=up, wp=wp, xx=xx, zz=zz)
+    return state, cfg, D_lin, params
+
+
+def test_wave_momentum_flux_profile_is_z_independent():
+    """The per-level flux profile (round-5 deficit-localization
+    diagnostic) must read the SAME analytic linear flux at every level —
+    EP flux is z-independent below dissipation — so a drop in a real run
+    localizes real physics, not observable bias."""
+    state, cfg, D_lin, p = _analytic_linear_wave_state()
+    a = p["a"]
     levels = [1500.0, 2500.0, 3500.0, 4500.0, 5500.0]
     prof = lw.wave_momentum_flux_profile(cfg, levels, dz=1000.0,
                                          x_window=3 * a)
@@ -482,3 +492,25 @@ def test_wave_momentum_flux_profile_is_z_independent():
     for z in levels:
         np.testing.assert_allclose(float(out[f"fp{int(z)}"]), D_lin,
                                    rtol=0.12)
+
+
+def test_wave_amplitude_profile_reads_analytic_amplitude():
+    """``wave_amplitude_profile`` (round-5 companion observable) must
+    read the analytic wave's RMS ū′/w̄ per level — so a missing amplitude
+    in a real run indicts generation/dissipation, not the observable."""
+    state, cfg, D_lin, p = _analytic_linear_wave_state()
+    a, xx, zz, up, wp = p["a"], p["xx"], p["zz"], p["up"], p["wp"]
+    levels = [1500.0, 3500.0, 5500.0]
+    amp = lw.wave_amplitude_profile(cfg, levels, dz=1000.0, x_window=3 * a)
+    out = amp(state)
+    for z in levels:
+        sel = ((np.abs(xx) <= 3 * a) & (zz >= z - 500.0) & (zz < z + 500.0))
+        # binning keeps the resolved wave: RMS of raw samples ≈ RMS of
+        # bin means for structure at scales ≫ the bin (tol covers the
+        # top-hat filter bias)
+        np.testing.assert_allclose(float(out[f"ampu{int(z)}"]),
+                                   np.sqrt(np.mean(up[sel] ** 2)),
+                                   rtol=0.1)
+        np.testing.assert_allclose(float(out[f"ampw{int(z)}"]),
+                                   np.sqrt(np.mean(wp[sel] ** 2)),
+                                   rtol=0.1)
