@@ -38,20 +38,29 @@ sys.path.insert(0, "/root/repo")
 
 def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
         h_m=300.0, a=5e3, avg_window=0.2, av_alpha=0.0,
-        flux_profile=False, lj_floor=False):
+        flux_profile=False, lj_floor=False,
+        dom_height=20e3, z_b=8e3, gamma_factor=0.5):
+    """``dom_height``/``z_b``/``gamma_factor`` (round 5): the arm-B profile
+    measured a z-INDEPENDENT ~0.1·D_lin flux with no kill zone — the
+    signature of a standing wave (sponge reflection cancelling the net
+    flux everywhere below), not of dissipation. A taller domain with a
+    deeper sponge ramp (z_b ≳ 1.9·λ_z) tests that hypothesis directly.
+    n_rows is interpreted per 20 km so dr stays comparable across
+    heights."""
     from sph_mountain_waves_tpu.models import legacy_witch as lw
 
     # γ_max = N/2 STRUCTURALLY (ADVICE round 3): derive N from the same
     # config-factory constants the run itself uses, not hardcoded numbers
     ref = lw.adiabatic_flow_config()
     N_ref = ref.g / float(np.sqrt(ref.cp * ref.T0))
+    n_rows = int(round(n_rows * dom_height / 20e3))
 
     # true_rayleigh: the reference's as-committed sponge is a constant
     # body force (typo'd damping_structure) that drives the whole domain
     # to u_avg ~ 67 m/s — unusable for a quantitative wave observable;
     # the corrected -gamma(z)*(v - U_bg) sponge is required here.
     cfg = lw.adiabatic_flow_config(
-        n_rows=n_rows, dom_height=20e3, dom_length=60e3, z_b=8e3,
+        n_rows=n_rows, dom_height=dom_height, dom_length=60e3, z_b=z_b,
         h_m=h_m, a=a, t_end=t_end, n_frames=100, dtype="float32",
         use_pallas=use_pallas, fast_math=use_pallas,
         # the corrected-physics bundle (all three reference defects
@@ -62,7 +71,7 @@ def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
         # absorbing sponge: γ_max = N/2 ramped over z_b = 8 km ≈ 1.25·λ_z
         # (the default γᵣ = 10·N_bv ≈ 70·N is a reflecting lid — measured
         # flux −D_lin with resonant u_max aloft, round 3)
-        sponge_gamma=0.5 * N_ref,
+        sponge_gamma=gamma_factor * N_ref,
         # gentle linear-regime winds (u ~ U = 20 m/s, no blocked-flow
         # plumes): lattice 2dr cells (cap 8) are the optimum — the drift
         # budget still buys ~70 steps between rescatters
@@ -73,7 +82,7 @@ def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
         # ~3 s while the wave (k_z = N/U) loses ~e^(−0.26) of amplitude
         # over its 750 s climb to the z = 3 km band.
         av_alpha=av_alpha, lj_floor=lj_floor,
-        outflow_buffer=6.0 * 1.8 * (20e3 / n_rows))
+        outflow_buffer=6.0 * 1.8 * (dom_height / n_rows))
     N_bv = cfg.g / float(np.sqrt(cfg.cp * cfg.T0))     # adiabatic scheme N
     D_lin = (np.pi / 4) * cfg.rho0 * N_bv * cfg.U_max * cfg.h_m**2
     print(f"dr={cfg.dr:.0f}  dt={cfg.dt:.4e}  steps={cfg.t_end/cfg.dt:.0f}  "

@@ -68,3 +68,11 @@ if __name__ == "__main__":
         arm("B_lj300", h_m=300.0, t_end=3000.0, av_alpha=0.0, lj_floor=True)
     if "C" in which:
         arm("C_lj600", h_m=600.0, t_end=3000.0, av_alpha=0.0, lj_floor=True)
+    if "E" in which:
+        # sponge-reflection hypothesis (arm-B finding: z-INDEPENDENT
+        # ~0.1·D_lin with no kill zone = standing-wave signature): taller
+        # domain, sponge ramp deepened 8 km (1.25·λ_z) → 12 km (1.9·λ_z)
+        # starting at 16 km. If the flux rises toward D_lin, the deficit
+        # was reflected-wave cancellation, not generation/dissipation.
+        arm("E_lj300_tall", h_m=300.0, t_end=3000.0, av_alpha=0.0,
+            lj_floor=True, dom_height=28e3, z_b=12e3)
