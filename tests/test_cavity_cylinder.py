@@ -83,6 +83,26 @@ def test_cavity_vs_ghia_re400():
 
 
 @pytest.mark.slow
+def test_cavity_vs_ghia_re1000():
+    """Third (hardest) Ghia Reynolds point — the reference ships Re
+    100/400/1000 columns (sph_jl/examples/reference/ldc-y2vx.csv,
+    comparison cavity_flow.jl:182-220). Thinnest boundary layers of the
+    three; calibrated round 5: mean_err 0.183 at N=100/t_end=10 (f64 and
+    f32 agree to 0.002; max_err 0.377 at the near-wall jet peaks —
+    same error structure as Re=400). Gate with ~30% margin. The error
+    trend across the three columns (0.062 / 0.122 / 0.183 at matched or
+    finer N) is the expected SPH thin-BL degradation, convergent in N at
+    each Re."""
+    cfg = cf.Config(N=100, Re=1000.0, t_end=10.0, n_frames=10)
+    out = cf.run(cfg)
+    ref = np.genfromtxt(os.path.join(DATA, "ldc-y2vx.csv"), delimiter=",",
+                        names=True)
+    ours = np.interp(ref["y"], out["s"], out["v1"])
+    err = np.abs(ours - ref["Re1000"])
+    assert err.mean() < 0.24
+
+
+@pytest.mark.slow
 def test_cylinder_drag_coefficient():
     """Quantitative DFG drag gate (the reference computes the relative
     error against C_ref = 5.57953523384 at runtime, cylinder.jl:176,
