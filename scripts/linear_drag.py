@@ -138,11 +138,18 @@ def run(n_rows=200, t_end=2500.0, use_pallas=True, verbose=True,
     ampf = (lw.wave_amplitude_profile(cfg, _levels, dz=1000.0,
                                       x_window=3 * a)
             if flux_profile else lambda s: {})
+    # stationary-wave x-bins in a low band (generation diagnostic): the
+    # band bottom clears the ridge top by ≥2 rows
+    z0_gen = h_m + 2.5 * (dom_height / n_rows) + 250.0
+    genf = (lw.stationary_wave_bins(cfg, z0=z0_gen, dz=500.0,
+                                    x_window=3 * a)
+            if flux_profile else lambda s: {})
 
     def diag(state):
         return {**base_force(state), **flux_lo(state),
                 **flux_hi(state), **fb_lo(state), **fb_hi(state),
-                **wind_taps(state), **prof(state), **ampf(state)}
+                **wind_taps(state), **prof(state), **ampf(state),
+                **genf(state)}
 
     t0 = time.time()
     res = lw.run(cfg, verbose=verbose, extra_diag=diag)

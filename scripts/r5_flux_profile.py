@@ -54,6 +54,19 @@ def arm(name, **kw):
                 for z in LEVELS if f"ampu{z}" in res}
         line += "\nAMP " + name + " " + " ".join(
             f"z{z}=u{amps[z][0]:.2f}/w{amps[z][1]:.2f}" for z in amps)
+    if "sw0" in res:
+        # time-MEAN stationary bins (late frames): the generation
+        # diagnostic — stationary wave pattern with unsteady noise
+        # averaged out
+        nb = sum(1 for k in res if k.startswith("sw"))
+        mw = [float(np.mean(np.asarray(res[f"sw{i}"])[k0:]))
+              for i in range(nb)]
+        mu = [float(np.mean(np.asarray(res[f"su{i}"])[k0:]))
+              for i in range(nb)]
+        line += ("\nGENW " + name + " "
+                 + " ".join(f"{v:.3f}" for v in mw)
+                 + "\nGENU " + name + " "
+                 + " ".join(f"{v:.3f}" for v in mu))
     print(line, flush=True)
     for path in ("/tmp/linear_drag.log", "/tmp/r5_profile.log"):
         with open(path, "a") as f:

@@ -1132,6 +1132,44 @@ def wave_amplitude_profile(cfg: LegacyConfig, z_levels, dz: float = 1000.0,
     return diag
 
 
+def stationary_wave_bins(cfg: LegacyConfig, z0: float, dz: float = 500.0,
+                         x_window: float = 15e3, bin_w: float = 1000.0,
+                         tag: str = "s"):
+    """Per-x-bin mean perturbation velocities in ONE low band — the
+    GENERATION diagnostic (round 5). Keys ``{tag}u{i}``/``{tag}w{i}``,
+    i = 0..2·x_window/bin_w−1, mass-weighted band means per x-bin.
+
+    The wave is stationary, so time-averaging these over late frames
+    (host-side) suppresses the unsteady internal-wave noise that
+    dominates instantaneous RMS amplitudes and leaves the stationary
+    wave's spatial pattern, directly comparable against the analytic
+    linear solution at the band height — if the time-mean w̄(x) right
+    above the ridge already sits below U·∂h/∂x propagated to z0, the
+    drag deficit is at GENERATION; if it matches, the deficit is in
+    propagation/phase."""
+    nbx = int(round(2 * x_window / bin_w))
+
+    def diag(state: ParticleState) -> dict:
+        f = state.fields
+        y = f["x"][:, 1]
+        sel = (state.active & (f["type"] == FLUID)
+               & (y >= z0 - dz / 2) & (y < z0 + dz / 2)
+               & (jnp.abs(f["x"][:, 0]) <= x_window))
+        m = jnp.where(sel, f["m"], 0.0)
+        bx = jnp.clip(((f["x"][:, 0] + x_window) / bin_w).astype(jnp.int32),
+                      0, nbx - 1)
+        sm = jnp.maximum(jnp.zeros(nbx, m.dtype).at[bx].add(m), 1e-30)
+        su = jnp.zeros(nbx, m.dtype).at[bx].add(
+            m * (f["v"][:, 0] - cfg.U_max)) / sm
+        sw = jnp.zeros(nbx, m.dtype).at[bx].add(m * f["v"][:, 1]) / sm
+        out = {}
+        for i in range(nbx):
+            out[f"{tag}u{i}"] = su[i]
+            out[f"{tag}w{i}"] = sw[i]
+        return out
+    return diag
+
+
 def run(cfg: LegacyConfig, out_path: str | None = None, verbose: bool = False,
         packing: bool = False, capacity_factor: float = 1.3,
         extra_diag=None):
