@@ -1172,17 +1172,24 @@ def stationary_wave_bins(cfg: LegacyConfig, z0: float, dz: float = 500.0,
 
 def run(cfg: LegacyConfig, out_path: str | None = None, verbose: bool = False,
         packing: bool = False, capacity_factor: float = 1.3,
-        extra_diag=None):
+        extra_diag=None, setup_hook=None):
     """Shared main loop for all four legacy schemes. ``extra_diag``
     overrides the default per-frame observable bundle (``mountain_force``);
-    use it to add wave_momentum_flux bands etc."""
+    use it to add wave_momentum_flux bands etc. ``setup_hook(state) ->
+    state`` (optional) transforms the frozen state before the first step
+    (after packing; skipped on resume like every setup) — experiment
+    scripts superpose initial perturbations with it (e.g. the round-5
+    internal-wave propagation probe, scripts/r5_wave_decay.py)."""
     from .wcsph_perturbed_witch import _run_witch_scheme
 
     def setup(cfg_, engine, state):
-        if not packing:
-            return state
-        from ..utils.packing import colagrossi_packing
-        return colagrossi_packing(cfg_.witch, engine, state, 1e-10, 1e-10, 100)
+        if packing:
+            from ..utils.packing import colagrossi_packing
+            state = colagrossi_packing(cfg_.witch, engine, state,
+                                       1e-10, 1e-10, 100)
+        if setup_hook is not None:
+            state = setup_hook(state)
+        return state
 
     def _make_system(cfg_):
         # layout/skin/rescatter defaults come from make_system itself;
