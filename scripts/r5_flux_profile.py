@@ -81,6 +81,13 @@ if __name__ == "__main__":
         arm("B_lj300", h_m=300.0, t_end=3000.0, av_alpha=0.0, lj_floor=True)
     if "C" in which:
         arm("C_lj600", h_m=600.0, t_end=3000.0, av_alpha=0.0, lj_floor=True)
+    if "G" in which:
+        # resolution step on generation efficiency (arm-E finding: the
+        # stationary w̄ pattern at the source is 0.64 of theory at
+        # dr=100 m, u′ 0.27): 1.5× finer. t_end=1500 s ≈ 6 a/U settles
+        # the near field; late-30% averaging windows the diagnostics.
+        arm("G_lj300_hires", h_m=300.0, t_end=1500.0, av_alpha=0.0,
+            lj_floor=True, n_rows=300, avg_window=0.3)
     if "E" in which:
         # sponge-reflection hypothesis (arm-B finding: z-INDEPENDENT
         # ~0.1·D_lin with no kill zone = standing-wave signature): taller
