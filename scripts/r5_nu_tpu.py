@@ -42,10 +42,16 @@ def arm(n_rows, Ra, t_end, layout):
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("ab", "all"):
+        # NOTE (measured round 5): the FLAT-layout RB program crashed the
+        # TPU worker (rc=1, the round-4 flat-program crash class) — the
+        # cross-layout A/B lives in the CPU suite instead
+        # (test_rayleigh_benard operator gates); TPU runs use bucket.
         nu_flat = arm(48, 1e4, 60.0, "flat")
         nu_buck = arm(48, 1e4, 60.0, "bucket")
         print(f"AB rel diff {abs(nu_flat - nu_buck) / nu_flat:.4f}",
               flush=True)
+    if which == "b48":
+        arm(48, 1e4, 60.0, "bucket")
     if which in ("deep", "all"):
         arm(64, 1e4, 60.0, "bucket")
         arm(48, 1e5, 30.0, "bucket")
