@@ -122,13 +122,18 @@ sys_ = cd.make_system(cfg)
 state = sys_.freeze()
 step, init_forces = cd.make_step(cfg, sys_.engine)
 state = jax.jit(init_forces, donate_argnums=0)(state)
-# 1000-step scans at 11.7k: a 100-step scan carries ~0.26 ms/step of the
-# fixed ~26 ms tunnel round trip (scan-floor finding, BENCHMARKS.md)
+# 100-step scans, fresh state (round-4-comparable): the 1000-step-scan
+# variant (round-5 experiment) by repeat 3 times a state 4000 steps into
+# the developed sloshing phase, where drift-triggered rescatters fire
+# every ~6 steps and the per-step cost has grown 4.9 -> 44 ms (measured,
+# scripts/r5_probe_fix.py) — that regime is recorded as the dam AGING
+# curve in BENCHMARKS.md, not as this fresh-state headline. The fixed
+# ~26 ms tunnel round trip adds ~0.26 ms/step here (methodology note).
 @partial(jax.jit, donate_argnums=0)
 def run(s):
-    s, _ = jax.lax.scan(lambda s, _: (step(s), None), s, None, length=1000)
+    s, _ = jax.lax.scan(lambda s, _: (step(s), None), s, None, length=100)
     return s
-timed_scans(run, state, sys_.n_built, 1000)
+timed_scans(run, state, sys_.n_built, 100)
 ''')]
 
 

@@ -110,6 +110,24 @@ def sorted_slot_scatter(key, fields, C: int, cap: int, slots: int):
     return moved, active, overflow
 
 
+# Stencil-compaction lowering dispatch (round 5): the einsum placement's
+# transposed [*grid, F, cap] operand copies tile-pad their minor (F, cap)
+# dims to multiples of (8, 128); keep the einsum only while that padded
+# temp stays comfortably inside HBM alongside ~3 live copies (the 1M 2-D
+# witch sits at ~1.06 GB and has always run fine; the 3.25M witch3d's
+# 5.6 GB OOMs). Above it, the elementwise source-slot loop lowering is
+# used (bit-identical, ~5× compile).
+_COMPACT_EINSUM_TEMP_MAX = 1536 * 2**20
+
+
+def _compact_einsum_ok(grid, n_comp: int, cap: int) -> bool:
+    cells = 1
+    for g in grid:
+        cells *= g
+    padded = (-(-n_comp // 8) * 8) * (-(-cap // 128) * 128)
+    return cells * padded * 4 <= _COMPACT_EINSUM_TEMP_MAX
+
+
 def _is_bookkeeping(name: str) -> bool:
     """SLOT-bound accumulator fields, by convention "_"-prefixed (e.g. the
     spawn-drop counter ``_spawn_drops``): carried in the state pytree for
@@ -473,8 +491,6 @@ class NeighborEngine:
         cnt = jnp.zeros(grid, jnp.int32)
         iota_k = jnp.arange(cap, dtype=jnp.int32).reshape(
             (cap,) + (1,) * dim)
-        iota_sk = jnp.arange(cap, dtype=jnp.int32).reshape(
-            (cap, 1) + (1,) * dim)
         outs_fs = jnp.zeros((len(comps), cap) + grid, dt)
         for off in self.stencil:
             nk = sl(keyg, off)                      # [cap, *grid]
@@ -482,15 +498,35 @@ class NeighborEngine:
             sv = sl(vals, off, lead=2)              # [F, cap, *grid]
             mi = member.astype(jnp.int32)
             rank = cnt[None] + jnp.cumsum(mi, axis=0) - mi
-            oh = ((iota_sk == rank[None]) & member[None]).astype(dt)
-            # precision=HIGHEST is REQUIRED: TPU einsum defaults to bf16
-            # MXU multiplies, which would round the carried field values
-            # (positions!) to ~8 mantissa bits at every rescatter. The
-            # contraction is a pure selection (≤1 nonzero term per
-            # output), so at f32 multiply precision it is bit-exact.
-            outs_fs = outs_fs + jnp.einsum(
-                "sk...,fk...->fs...", oh, sv,
-                precision=jax.lax.Precision.HIGHEST)
+            # One-hot placement, two lowerings (round 5):
+            #  * small grids: one einsum per offset — compiles fast (the
+            #    round-4 vectorization), precision=HIGHEST REQUIRED (TPU
+            #    einsum defaults to bf16 MXU multiplies, which would
+            #    round carried positions to ~8 mantissa bits; selection
+            #    has ≤1 nonzero term per output, so f32 multiply is
+            #    bit-exact);
+            #  * big grids: an elementwise source-slot loop — the einsum
+            #    form makes XLA materialize transposed [*grid, F, cap]
+            #    operand copies whose minor (F, cap) dims tile-pad to a
+            #    ~13× expansion: 3 × 2.62 GB HLO temps at the witch3d
+            #    stretch grid → HBM OOM (round-5 probe). The broadcast-
+            #    multiply form keeps temps in natural grid-minor layout
+            #    on the VPU (exact f32, bit-identical — gated), at ~5×
+            #    the trace/compile cost, so it is reserved for grids
+            #    where the einsum's padded temps would exceed the budget.
+            if _compact_einsum_ok(grid, len(comps), cap):
+                oh = ((iota_k[:, None] == rank[None])
+                      & member[None]).astype(dt)
+                outs_fs = outs_fs + jnp.einsum(
+                    "sk...,fk...->fs...", oh, sv,
+                    precision=jax.lax.Precision.HIGHEST)
+            else:
+                contrib = jnp.zeros_like(outs_fs)
+                for k in range(cap):
+                    sel = ((iota_k == rank[k][None])
+                           & member[k][None]).astype(dt)  # [cap_s, *grid]
+                    contrib = contrib + sel[None] * sv[:, k][:, None]
+                outs_fs = outs_fs + contrib
             cnt = cnt + jnp.sum(mi, axis=0)
         outs = list(outs_fs)
 

@@ -384,3 +384,33 @@ def test_anisotropic_cells_match_bruteforce(layout):
     want = brute_force_sums(xs, act, h, w)
     sel = np.asarray(state2.active)
     np.testing.assert_allclose(got[sel], want[sel], rtol=1e-12)
+
+
+def test_stencil_compaction_lowerings_bit_identical(monkeypatch):
+    """The two stencil-compaction lowerings (per-offset einsum vs the
+    elementwise source-slot loop used when the einsum's padded TPU temps
+    would blow HBM — round-5 witch3d OOM fix) must place bit-identical
+    states."""
+    import sph_mountain_waves_tpu.ops.neighbors as nb
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    x = rng.uniform(0, 1.0, size=(n, 3))
+    sys_ = ParticleSystem(fields={"x": 3, "m": 0},
+                          domain=Box(0, 0, 0, 1, 1, 1), h=0.08, dim=3,
+                          dtype=jnp.float64)
+    sys_.add_particles(x, {"m": rng.uniform(0.5, 2, n)})
+    state = sys_.freeze(layout="bucket", skin=0.3)
+    eng = sys_.engine
+    state = state.replace(
+        x=state.fields["x"]
+        + 0.004 * rng.standard_normal(state.fields["x"].shape))
+    outs = {}
+    for mx in (10**12, 0):   # force einsum / force k-loop
+        monkeypatch.setattr(nb, "_COMPACT_EINSUM_TEMP_MAX", mx)
+        s2, dropped = eng._stencil_rescatter(state)
+        outs[mx] = (np.asarray(s2.fields["x"]), np.asarray(s2.fields["m"]),
+                    np.asarray(s2.active), int(dropped))
+    assert outs[0][3] == outs[10**12][3]
+    for a, b in zip(outs[0][:3], outs[10**12][:3]):
+        np.testing.assert_array_equal(a, b)
