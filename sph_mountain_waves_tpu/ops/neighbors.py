@@ -110,17 +110,27 @@ def sorted_slot_scatter(key, fields, C: int, cap: int, slots: int):
     return moved, active, overflow
 
 
-# Stencil-compaction lowering dispatch (round 5): the einsum placement's
-# transposed [*grid, F, cap] operand copies tile-pad their minor (F, cap)
-# dims to multiples of (8, 128); keep the einsum only while that padded
-# temp stays comfortably inside HBM alongside ~3 live copies (the 1M 2-D
-# witch sits at ~1.06 GB and has always run fine; the 3.25M witch3d's
-# 5.6 GB OOMs). Above it, the elementwise source-slot loop lowering is
-# used (bit-identical, ~5× compile).
+# Stencil-compaction lowering dispatch (round 5, TPU-measured).  The
+# elementwise source-slot-loop placement is the DEFAULT: the einsum form
+# (a) runs the selection contraction on the MXU at precision=HIGHEST —
+# ~80 ms per rescatter even at an 11.7k-slot dam grid, 4.86 vs 0.90
+# ms/step on configs that rescatter every ~20 steps (scripts/r5_dam_ab)
+# — and (b) makes XLA materialize transposed [*grid, F, cap] operand
+# copies whose minor (F, cap) dims tile-pad ~13×: 3 × 2.62 GB HLO temps
+# at the 3.25M witch3d grid → HBM OOM.  The k-loop is bit-identical
+# (gated in test_neighbors) and VPU-only; its one cost is HLO size
+# (~len(stencil)·cap elementwise ops), so ABOVE the unroll bound the
+# einsum is used where its padded temps fit (collapse3d: 27·40 = 1080
+# unroll but a tiny grid), and the k-loop is kept regardless when they
+# do not.
+_COMPACT_KLOOP_MAX_UNROLL = 512
 _COMPACT_EINSUM_TEMP_MAX = 1536 * 2**20
 
 
-def _compact_einsum_ok(grid, n_comp: int, cap: int) -> bool:
+def _compact_use_einsum(stencil_n: int, grid, n_comp: int,
+                        cap: int) -> bool:
+    if stencil_n * cap <= _COMPACT_KLOOP_MAX_UNROLL:
+        return False
     cells = 1
     for g in grid:
         cells *= g
@@ -498,23 +508,14 @@ class NeighborEngine:
             sv = sl(vals, off, lead=2)              # [F, cap, *grid]
             mi = member.astype(jnp.int32)
             rank = cnt[None] + jnp.cumsum(mi, axis=0) - mi
-            # One-hot placement, two lowerings (round 5):
-            #  * small grids: one einsum per offset — compiles fast (the
-            #    round-4 vectorization), precision=HIGHEST REQUIRED (TPU
-            #    einsum defaults to bf16 MXU multiplies, which would
-            #    round carried positions to ~8 mantissa bits; selection
-            #    has ≤1 nonzero term per output, so f32 multiply is
-            #    bit-exact);
-            #  * big grids: an elementwise source-slot loop — the einsum
-            #    form makes XLA materialize transposed [*grid, F, cap]
-            #    operand copies whose minor (F, cap) dims tile-pad to a
-            #    ~13× expansion: 3 × 2.62 GB HLO temps at the witch3d
-            #    stretch grid → HBM OOM (round-5 probe). The broadcast-
-            #    multiply form keeps temps in natural grid-minor layout
-            #    on the VPU (exact f32, bit-identical — gated), at ~5×
-            #    the trace/compile cost, so it is reserved for grids
-            #    where the einsum's padded temps would exceed the budget.
-            if _compact_einsum_ok(grid, len(comps), cap):
+            # One-hot placement, two bit-identical lowerings — see the
+            # dispatch comment at _compact_use_einsum. The einsum branch
+            # needs precision=HIGHEST (TPU einsum defaults to bf16 MXU
+            # multiplies, which would round carried positions to ~8
+            # mantissa bits; the selection has ≤1 nonzero term per
+            # output, so f32 multiply is bit-exact).
+            if _compact_use_einsum(len(self.stencil), grid, len(comps),
+                                   cap):
                 oh = ((iota_k[:, None] == rank[None])
                       & member[None]).astype(dt)
                 outs_fs = outs_fs + jnp.einsum(

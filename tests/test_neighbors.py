@@ -406,11 +406,12 @@ def test_stencil_compaction_lowerings_bit_identical(monkeypatch):
         x=state.fields["x"]
         + 0.004 * rng.standard_normal(state.fields["x"].shape))
     outs = {}
-    for mx in (10**12, 0):   # force einsum / force k-loop
-        monkeypatch.setattr(nb, "_COMPACT_EINSUM_TEMP_MAX", mx)
+    for unroll in (0, 10**9):   # 0 → einsum (temp fits); huge → k-loop
+        monkeypatch.setattr(nb, "_COMPACT_KLOOP_MAX_UNROLL", unroll)
         s2, dropped = eng._stencil_rescatter(state)
-        outs[mx] = (np.asarray(s2.fields["x"]), np.asarray(s2.fields["m"]),
-                    np.asarray(s2.active), int(dropped))
-    assert outs[0][3] == outs[10**12][3]
-    for a, b in zip(outs[0][:3], outs[10**12][:3]):
+        outs[unroll] = (np.asarray(s2.fields["x"]),
+                        np.asarray(s2.fields["m"]),
+                        np.asarray(s2.active), int(dropped))
+    assert outs[0][3] == outs[10**9][3]
+    for a, b in zip(outs[0][:3], outs[10**9][:3]):
         np.testing.assert_array_equal(a, b)
