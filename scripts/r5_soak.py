@@ -18,10 +18,6 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
-from sph_mountain_waves_tpu.utils.cache import enable_persistent_cache
-
-enable_persistent_cache()
-
 from sph_mountain_waves_tpu.models import wcsph_perturbed_witch as w
 from sph_mountain_waves_tpu.models.common import frame_runner
 from sph_mountain_waves_tpu.models.witch_common import WitchConfig
@@ -33,6 +29,8 @@ LOG = "/tmp/r5_soak.log"
 
 
 def main(particles=1e6):
+    from sph_mountain_waves_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()  # after any cpu-forcing config (cache.py note)
     n_rows = max(8, int(round(math.sqrt(particles / (400e3 / 26e3)
                                         / 1.0746))))
     cfg = WitchConfig(n_rows=n_rows, dtype="float32", self_density=True,

@@ -22,14 +22,26 @@ DEFAULT_DIR = "/root/repo/.jax_cache"
 
 
 def enable_persistent_cache(path: str = DEFAULT_DIR,
-                            min_compile_secs: float = 5.0) -> str:
+                            min_compile_secs: float = 5.0,
+                            cpu_too: bool = False) -> str | None:
     """Point JAX's compilation cache at ``path`` (created if missing).
 
     ``min_compile_secs``: only programs whose compile took at least this
     long are persisted — keeps the cache to the handful of expensive
-    production programs instead of thousands of test-sized ones."""
+    production programs instead of thousands of test-sized ones.
+
+    CPU backends are skipped by default (returns None): XLA:CPU AOT
+    cache entries embed machine-feature lists including pseudo-features
+    (+prefer-no-scatter/-gather) that the loader's host check does not
+    recognize, producing SIGILL-warning noise on reload (observed
+    round 5 in the multichip dryrun) — and CPU compiles are cheap
+    anyway. NOTE: the backend probe initializes JAX's backends, so call
+    this AFTER any ``jax_platforms``/device-count configuration.
+    ``cpu_too=True`` restores the old unconditional behavior."""
     import jax
 
+    if not cpu_too and jax.default_backend() == "cpu":
+        return None
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
